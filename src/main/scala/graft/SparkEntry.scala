@@ -1,13 +1,256 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.app.KgBuild
+import graft.canon.Resolver
+import graft.chunk.ChunkStage
+import graft.extract.Extractor
+import graft.model.{ChunkProfile, RunConfig}
+import graft.source.{TranscriptDeriver, TranscriptGen}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions for oracle parity with DuckDB:
+  *   - all output column names lowercase, aliased identically on both sides;
+  *   - no raw floating-point aggregates: sums are computed over
+  *     decimal-cast inputs (exact arithmetic in both engines), avgs are
+  *     rounded decimals;
+  *   - no timestamp outputs (tz/precision semantics differ) — epochs instead;
+  *   - every query ends in a deterministic orderBy.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
+  private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+
+  /** Flagship: full KG construction (chunk → extract → link → canonicalize)
+    * over the seeded synthetic transcript table; returns the (subj, pred, obj)
+    * triple view. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = TranscriptGen.table(spark, 20L).toDF()
+    KgBuild.buildGraph(turns, RunConfig(runKey = "kg-build:entry")).triples
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KG pipeline stages over DERIVED transcripts (oracle-checkable) ----
+    "kg_turns" -> ((s, d) =>
+      TranscriptDeriver.turns(s, d)
+        .select("conv_id", "turn_idx", "role", "text")
+        .orderBy("conv_id", "turn_idx")),
+    "kg_turn_checksums" -> ((s, d) =>
+      TranscriptDeriver.turns(s, d)
+        .select(col("conv_id"), col("turn_idx"), sha2(col("text"), 256).as("checksum"))
+        .orderBy("conv_id", "turn_idx")),
+    "kg_doc_assembly" -> ((s, d) => {
+      // W2: stable (conv_id, turn_idx)-ordered reassembly must round-trip the
+      // document text (turn boundaries are exact 240-char windows).
+      ChunkStage.documents(TranscriptDeriver.turns(s, d))
+        .select(col("conv_id"), sha2(col("doc_text"), 256).as("doc_checksum"),
+          col("n_turns"))
+        .orderBy("conv_id")
+    }),
+    "kg_turn_offsets" -> ((s, d) =>
+      ChunkStage.turnOffsets(TranscriptDeriver.turns(s, d))
+        .select("conv_id", "turn_idx", "start_off")
+        .orderBy("conv_id", "turn_idx")),
+
+    // ---- KG pipeline over the SEEDED synthetic table (non-SQL stages:
+    //      approximate chunker, regex extraction, CC fixpoint) — rows-only ----
+    "kg_triples_synth" -> ((s, _) => {
+      val turns = TranscriptGen.table(s, 30L).toDF()
+      KgBuild.buildGraph(turns, RunConfig(runKey = "kg-build:verify"))
+        .triples.orderBy("subj", "pred", "obj")
+    }),
+    "kg_chunks_synth" -> ((s, _) => {
+      val turns = TranscriptGen.table(s, 30L).toDF()
+      ChunkStage.chunks(turns, ChunkProfile.text)
+        .select("conv_id", "index", "chunk_uid", "checksum", "start", "end")
+        .orderBy("conv_id", "index")
+    }),
+    "kg_mentions_synth" -> ((s, _) => {
+      val turns = TranscriptGen.table(s, 30L).toDF()
+      Extractor.mentions(Extractor.extract(turns)).toDF()
+        .select("conv_id", "turn_idx", "begin", "end", "surface", "norm", "label")
+        .orderBy("conv_id", "turn_idx", "begin")
+    }),
+    "kg_canonical_entities" -> ((s, _) =>
+      Resolver.canonicalEntities(s)
+        .orderBy("norm")),
+
+    // ---- classic operator coverage with oracles (SURVEY.md §2.3/2.4/2.5) ----
+    "q1_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_join_inner" -> ((s, d) =>
+      orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")),
+    "q_join_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+    "q_join_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+    "q_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_dedup_exact" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("text_hash")),
+    "q_token_stats" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(greatest(lit(1), ceil(length(col("text")) / 4)).cast("long")).as("tokens_total"),
+          max(greatest(lit(1), ceil(length(col("text")) / 4)).cast("long")).as("tokens_max"))
+        .orderBy("lang")),
+    "q_token_hist" -> ((s, d) => {
+      val t = greatest(lit(1), ceil(length(col("text")) / 4)).cast("long")
+      val bucket = Seq(64, 128, 256, 512, 1024, 2048)
+        .foldRight(lit(">2048")) { (b, acc) => when(t <= b, lit(f"<=$b%04d")).otherwise(acc) }
+      docs(s, d)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+    "q_sessionize" -> ((s, d) => {
+      // gap-based sessionization (30 min) via lag + cumulative sum
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_seq")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    "q_event_windows" -> ((s, d) =>
+      // tumbling 5-minute windows keyed by epoch bucket (streaming-agg shape)
+      events(s, d)
+        .groupBy((floor(unix_timestamp(col("ts")) / 300) * 300).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("v"))
+        .orderBy("window_start", "event_type"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approximate chunker, regex extraction, CC fixpoint) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = {
+    val turnsCte = TranscriptDeriver.oracleTurnsCte
+    Map(
+      "kg_turns" ->
+        s"WITH $turnsCte SELECT conv_id, turn_idx, role, text FROM turns ORDER BY conv_id, turn_idx",
+      "kg_turn_checksums" ->
+        s"WITH $turnsCte SELECT conv_id, turn_idx, sha256(text) AS checksum FROM turns ORDER BY conv_id, turn_idx",
+      "kg_doc_assembly" ->
+        s"""WITH $turnsCte
+           |SELECT conv_id,
+           |       sha256(string_agg(text, chr(10) ORDER BY turn_idx)) AS doc_checksum,
+           |       CAST(count(*) AS INT) AS n_turns
+           |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+      "kg_turn_offsets" ->
+        s"""WITH $turnsCte
+           |SELECT conv_id, turn_idx,
+           |       CAST(coalesce(sum(length(text) + 1) OVER (
+           |         PARTITION BY conv_id ORDER BY turn_idx
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start_off
+           |FROM turns ORDER BY conv_id, turn_idx""".stripMargin,
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |       count(*) AS cnt
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_join_inner" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_join_anti" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+      "q_join_semi" ->
+        """SELECT c_custkey FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+          |ORDER BY c_custkey""".stripMargin,
+      "q_window_topk" ->
+        """SELECT o_custkey, rn, o_orderkey FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) t
+          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_token_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(CAST(greatest(1, ceil(length(text) / 4.0)) AS BIGINT)) AS BIGINT) AS tokens_total,
+          |       max(CAST(greatest(1, ceil(length(text) / 4.0)) AS BIGINT)) AS tokens_max
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_token_hist" ->
+        """WITH t AS (SELECT CAST(greatest(1, ceil(length(text) / 4.0)) AS BIGINT) AS tok FROM documents)
+          |SELECT CASE WHEN tok <= 64 THEN '<=0064' WHEN tok <= 128 THEN '<=0128'
+          |            WHEN tok <= 256 THEN '<=0256' WHEN tok <= 512 THEN '<=0512'
+          |            WHEN tok <= 1024 THEN '<=1024' WHEN tok <= 2048 THEN '<=2048'
+          |            ELSE '>2048' END AS bucket,
+          |       count(*) AS n
+          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, ts,
+          |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, event_id, ts,
+          |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+          |  FROM e),
+          |c AS (
+          |  SELECT user_id,
+          |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          |  FROM s)
+          |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_event_windows" ->
+        """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start, event_type,
+          |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS v
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  }
 }

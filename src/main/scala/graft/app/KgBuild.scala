@@ -1,0 +1,234 @@
+package graft.app
+
+import graft.canon.Resolver
+import graft.chunk.ChunkStage
+import graft.extract.Extractor
+import graft.functions.Embeddings
+import graft.link.EntityLinker
+import graft.materialize.Materializer
+import graft.model.RunConfig
+import graft.qa.QaEvaluator
+import graft.qa.QaEvaluator.{QaResult, QaThresholds}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** End-to-end KG construction: chunk -> extract -> link -> canonicalize ->
+  * materialize, with QA gating and manifest-based resume — the Spark
+  * re-expression of the reference's run_pipeline
+  * (ref:src/fancyrag/kg/pipeline.py:1344-1546; DAG form
+  * ref:pipelines/kg_ingest.yaml:40-94: splitter → embedder → extractor →
+  * writer → resolver_exact).
+  */
+object KgBuild {
+
+  final case class GraphTables(
+      chunks: DataFrame, // chunk rows + embedding
+      turnChecksums: DataFrame, // (conv_id, turn_idx, checksum)
+      relations: DataFrame, // linked (conv_id, turn_idx, subj/pred/obj canon)
+      nodes: DataFrame, // NodeRow-shaped
+      edges: DataFrame, // EdgeRow-shaped
+      triples: DataFrame // distinct (subj, pred, obj) by canonical name
+  )
+
+  val SemanticSource = "graft.kg_build.deterministic.v1"
+  val EmbeddingDim = 64
+
+  /** Pure-transform graph construction (no writes). */
+  def buildGraph(turns: DataFrame, cfg: RunConfig): GraphTables = {
+    val spark = turns.sparkSession
+
+    // ---- chunk ----
+    val chunksRaw = ChunkStage.chunks(turns, cfg.profile)
+    val chunks = Embeddings.withEmbedding(chunksRaw, "text", EmbeddingDim)
+    val turnChecksums = turns.select(
+      col("conv_id"), col("turn_idx"), sha2(col("text"), 256).as("checksum"))
+
+    // ---- extract ----
+    val extracted = Extractor.extract(turns).persist(StorageLevel.MEMORY_AND_DISK)
+    val mentions = Extractor.mentions(extracted).toDF()
+    val relCands = Extractor.relations(extracted)
+
+    // ---- canonicalize (build canonical entity Dataset via CC fixpoint) ----
+    val canonical = Resolver.canonicalEntities(spark)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- link ----
+    val linkedMentions = EntityLinker
+      .link(mentions, "norm", "mention_id", canonical, cfg.saltBuckets)
+      .filter(col("canon_norm").isNotNull)
+    val relsWithId = relCands.withColumn("rel_id",
+      xxhash64(col("conv_id"), col("turn_idx"), col("subj_norm"), col("pred"), col("obj_norm")))
+    val subjLinked = EntityLinker
+      .link(relsWithId, "subj_norm", "rel_id", canonical, cfg.saltBuckets)
+      .withColumnRenamed("canon_norm", "subj_canon_norm")
+      .withColumnRenamed("canon_name", "subj_name")
+      .withColumnRenamed("canon_label", "subj_label")
+    val relations = EntityLinker
+      .link(subjLinked, "obj_norm", "rel_id", canonical, cfg.saltBuckets)
+      .withColumnRenamed("canon_norm", "obj_canon_norm")
+      .withColumnRenamed("canon_name", "obj_name")
+      .withColumnRenamed("canon_label", "obj_label")
+      .filter(col("subj_canon_norm").isNotNull && col("obj_canon_norm").isNotNull)
+
+    // ---- nodes ----
+    def entId(label: org.apache.spark.sql.Column, norm: org.apache.spark.sql.Column) =
+      concat(lit("ent:"), label, lit(":"), norm)
+
+    val docNodes = ChunkStage.documents(turns).select(
+      concat(lit("doc:"), col("conv_id")).as("id"),
+      array(lit("Document")).as("labels"),
+      col("conv_id").as("name"),
+      map(lit("n_turns"), col("n_turns").cast("string")).as("props"),
+      col("conv_id"))
+    val chunkNodes = chunks.select(
+      concat(lit("chunk:"), col("chunk_uid")).as("id"),
+      array(lit("Chunk")).as("labels"),
+      col("chunk_uid").as("name"),
+      map(
+        lit("seq"), col("seq").cast("string"),
+        lit("index"), col("index").cast("string"),
+        lit("checksum"), col("checksum")).as("props"),
+      col("conv_id"))
+    // entity provenance: sorted chunk_uids of the chunks whose turns mention
+    // the entity (ref:_annotate_semantic_graph, pipeline.py:568-611)
+    val turnChunks = ChunkStage.turnToChunk(ChunkStage.turnOffsets(turns), chunksRaw)
+    val mentionChunks = linkedMentions
+      .join(turnChunks, Seq("conv_id", "turn_idx"), "left")
+    val entityNodes = mentionChunks
+      .groupBy(col("canon_label"), col("canon_norm"), col("canon_name"))
+      .agg(
+        array_sort(collect_set(col("chunk_uid"))).as("chunk_uids"),
+        min(col("conv_id")).as("conv_id"))
+      .select(
+        entId(col("canon_label"), col("canon_norm")).as("id"),
+        array(col("canon_label"), lit("__Entity__")).as("labels"),
+        col("canon_name").as("name"),
+        map(
+          lit("semantic_source"), lit(SemanticSource),
+          lit("chunk_uids"), to_json(col("chunk_uids"))).as("props"),
+        col("conv_id"))
+    val nodes = Materializer.stamp(
+      docNodes.unionByName(chunkNodes).unionByName(entityNodes), cfg)
+      .drop("conv_id")
+
+    // ---- edges ----
+    val hasChunk = chunks.select(
+      concat(lit("doc:"), col("conv_id")).as("src"),
+      concat(lit("chunk:"), col("chunk_uid")).as("dst"),
+      lit("HAS_CHUNK").as("rel_type"),
+      map(lit("seq"), col("seq").cast("string")).as("props"),
+      col("conv_id"))
+    val ingestedBy = linkedMentions
+      .filter(col("canon_label") === "Operator")
+      .join(turnChunks, Seq("conv_id", "turn_idx"))
+      .select(
+        concat(lit("chunk:"), col("chunk_uid")).as("src"),
+        entId(col("canon_label"), col("canon_norm")).as("dst"),
+        lit("INGESTED_BY").as("rel_type"),
+        map(lit("semantic_source"), lit(SemanticSource)).as("props"),
+        col("conv_id"))
+    val semanticEdges = relations.select(
+      entId(col("subj_label"), col("subj_canon_norm")).as("src"),
+      entId(col("obj_label"), col("obj_canon_norm")).as("dst"),
+      col("pred").as("rel_type"),
+      map(
+        lit("semantic_source"), lit(SemanticSource),
+        lit("turn_idx"), col("turn_idx").cast("string")).as("props"),
+      col("conv_id"))
+    val edges = Materializer.stamp(
+      hasChunk.unionByName(ingestedBy).unionByName(semanticEdges), cfg)
+      .drop("conv_id")
+
+    val triples = relations
+      .select(col("subj_name").as("subj"), col("pred"), col("obj_name").as("obj"))
+      .distinct()
+
+    GraphTables(chunks, turnChecksums, relations, nodes, edges, triples)
+  }
+
+  /** Materializing run with manifest-based resume and QA gating.
+    * Only partitions whose manifest rows are missing or whose input checksum
+    * changed are (re)computed; QA evaluates the union of all completed
+    * partitions and a failure rolls the current run key back
+    * (ref:src/fancyrag/kg/phases.py:359-430).
+    */
+  def run(
+      spark: SparkSession,
+      turns: DataFrame,
+      cfg: RunConfig,
+      outDir: String,
+      thresholds: QaThresholds = QaThresholds()): QaResult = {
+    val checks = Materializer.inputChecksums(turns, cfg.numPartitions)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val done = Materializer.completedPartitions(spark, outDir, "nodes", checks)
+    val pending = turns
+      .withColumn("part_id", Materializer.partId("conv_id", cfg.numPartitions))
+      .join(done, Seq("part_id"), "left_anti")
+      .drop("part_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (!pending.isEmpty) {
+      val g = buildGraph(pending, cfg)
+      val nodes = g.nodes.persist(StorageLevel.MEMORY_AND_DISK)
+      val edges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+      Materializer.writeWithManifest(edges, outDir, "edges", cfg, checks)
+      val chunksOut = Materializer.stamp(g.chunks, cfg)
+      chunksOut.write.mode(SaveMode.Append).partitionBy("part_id")
+        .parquet(s"$outDir/chunks")
+      Materializer.stamp(g.turnChecksums, cfg)
+        .write.mode(SaveMode.Append).partitionBy("part_id")
+        .parquet(s"$outDir/turn_checksums")
+      // nodes last: its manifest row is the completion marker for the partition
+      Materializer.writeWithManifest(nodes, outDir, "nodes", cfg, checks)
+      nodes.unpersist(); edges.unpersist()
+    }
+    pending.unpersist()
+
+    // QA over the full materialized graph. Nodes dedupe by id at read: an
+    // entity mentioned in several conv partitions appears once per completed
+    // run — dropDuplicates(id) is the read-side MERGE (idempotent upsert
+    // semantics of the reference writer, SURVEY.md S6).
+    val allNodes = spark.read.parquet(s"$outDir/nodes").dropDuplicates("id")
+    val allEdges = spark.read.parquet(s"$outDir/edges")
+    val allChunks = spark.read.parquet(s"$outDir/chunks")
+    val allChecksums = spark.read.parquet(s"$outDir/turn_checksums")
+    val qa = QaEvaluator.evaluate(turns, allChecksums, allChunks, allNodes, allEdges, thresholds)
+    if (qa.status == "fail") {
+      import spark.implicits._
+      val bad = Seq(cfg.runKey).toDF("ingest_run_key")
+      Seq("nodes", "edges", "chunks", "turn_checksums").foreach { stage =>
+        rollbackStage(spark, outDir, stage, bad)
+      }
+    }
+    qa
+  }
+
+  /** Read-filter-rewrite rollback of one stage directory. */
+  def rollbackStage(spark: SparkSession, outDir: String, stage: String, bad: DataFrame): Unit = {
+    val path = s"$outDir/$stage"
+    val kept = Materializer.rollback(spark.read.parquet(path), bad)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count() // force before overwriting the source
+    kept.write.mode(SaveMode.Overwrite).parquet(s"$path.tmp")
+    kept.unpersist()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path.tmp"), p)
+  }
+
+  /** The (subj, pred, obj) triple view over materialized tables — the
+    * P/R-scored artifact (SURVEY.md §1.4).
+    */
+  def tripleView(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val names = nodes.select(col("id"), col("name"))
+    edges
+      .filter(col("rel_type").isin("FOUNDED", "JOINED", "LAUNCHED"))
+      .join(names.withColumnRenamed("name", "subj"), col("src") === col("id")).drop("id")
+      .join(names.withColumnRenamed("name", "obj"), col("dst") === col("id")).drop("id")
+      .select(col("subj"), col("rel_type").as("pred"), col("obj"))
+      .distinct()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.canon
+
+import graft.extract.Gazetteer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Canonicalization: connected-components alias resolution over same-entity
+  * equivalence edges, run as iterative DataFrame self-joins to a fixpoint
+  * (BASELINE.json north_star; generalization of the reference's
+  * [lib] SinglePropertyExactMatchResolver configured at
+  * ref:pipelines/kg_ingest.yaml:69-77 — exact match is the 1-edge case,
+  * transitive alias chains need the closure).
+  *
+  * Algorithm: min-label propagation. label(n) starts as n; each round every
+  * node takes the min of its own label and its neighbors' labels; converged
+  * when no label changes. Rounds = O(component diameter) (alias chains are
+  * short); each round is one shuffle join + aggregation, with
+  * `localCheckpoint` truncating lineage so plans stay O(1) per round
+  * (SURVEY.md §4.2).
+  */
+object Resolver {
+
+  /** Connected components over undirected string edges.
+    * @return DataFrame(member, rep) covering every node that appears in any
+    *         edge; rep = lexicographic min of the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.toDF("u", "v")
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("member")).distinct()
+      .withColumn("rep", col("member"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("u") === labels("member"))
+        .groupBy(col("v").as("member2"))
+        .agg(min("rep").as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("member") === neighborMin("member2"), "left")
+        .select(col("member"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
+          (col("nmin").isNotNull && col("nmin") < col("rep")).as("changed"))
+        .localCheckpoint()
+      val changed = next.filter(col("changed")).limit(1).count()
+      labels = next.drop("changed")
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** The canonical entity Dataset: (norm, canon_norm, canon_name, label) for
+    * every known surface norm. Built from the gazetteer CHAIN edges (so the
+    * closure is genuinely needed), with the display name chosen by a
+    * deterministic preference rule: the component member that is a designated
+    * head surface; out-of-dictionary components fall back to the rep norm.
+    * This table is small (broadcast side of the entity-linking join).
+    */
+  def canonicalEntities(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val chainEdges = Gazetteer.aliasChainEdges.toDF("u", "v")
+    // singleton entities (no alias) still need a row: self-edges
+    val selfEdges = Gazetteer.aliasRows.map(r => (r._1, r._1)).toDF("u", "v")
+    val cc = connectedComponents(chainEdges.union(selfEdges))
+    val aliasLabels = Gazetteer.aliasRows.toDF("norm", "head_name", "label")
+    val heads = Gazetteer.aliasRows
+      .filter(r => Gazetteer.normalize(r._2) == r._1) // alias that IS the head
+      .map(r => (r._1, r._2))
+      .toDF("head_norm", "display")
+    val repDisplay = cc
+      .join(heads, cc("member") === heads("head_norm"), "left")
+      .groupBy("rep")
+      .agg(min("display").as("canon_name"))
+      .select(col("rep"), coalesce(col("canon_name"), col("rep")).as("canon_name"))
+    cc.join(repDisplay, "rep")
+      .join(aliasLabels.select("norm", "label").distinct(), cc("member") === col("norm"), "left")
+      .select(
+        col("member").as("norm"),
+        col("rep").as("canon_norm"),
+        col("canon_name"),
+        coalesce(col("label"), lit("__Entity__")).as("label"))
+  }
+}

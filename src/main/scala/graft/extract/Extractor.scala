@@ -1,0 +1,153 @@
+package graft.extract
+
+import java.util.regex.Pattern
+
+import graft.model.Mention
+import graft.util.Determinism
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic mention detection + per-turn relation-candidate extraction.
+  *
+  * Replaces the reference's per-chunk LLM extraction
+  * (ref:src/fancyrag/kg/pipeline.py:665-756; [lib] LLMEntityRelationExtractor
+  * with the closed schema of ref:scripts/config/kg_schema.json) with a
+  * compiled gazetteer regex applied once per partition — the broadcast
+  * dictionary / mapPartitions design of BASELINE.json's north_star. The
+  * pattern rules mirror the sample corpus the reference's schema was written
+  * for (ref:sample.txt:1, ref:docs/samples/pilot.txt:1):
+  *
+  *   Person  "founded"  Company  -> FOUNDED
+  *   Company "launched" Product  -> LAUNCHED
+  *   Person  "joined"   Company  -> JOINED
+  *   Person  "joined in <year>"  -> JOINED with anaphoric object = the most
+  *       recent prior turn's Company mention (window-ordered over
+  *       (conv_id, turn_idx) — the cross-turn rule of SURVEY.md W2).
+  */
+object Extractor {
+
+  final case class RelCand(
+      conv_id: String,
+      turn_idx: Int,
+      subj_norm: String,
+      pred: String,
+      obj_norm: Option[String],
+      anaphora: Boolean
+  )
+
+  final case class ExtractedTurn(
+      conv_id: String,
+      turn_idx: Int,
+      mentions: Seq[Mention],
+      rels: Seq[RelCand]
+  )
+
+  /** One alternation regex over every surface form, longest-first so the
+    * longest surface wins at a given position ("Acme Corporation" before
+    * "Acme"). Compiled once per JVM/executor; at production scale the
+    * dictionary would arrive as a broadcast variable — the compiled form is
+    * identical either way.
+    */
+  private lazy val surfaceToEntry: Map[String, (String, String)] = {
+    def entries(groups: Seq[Seq[String]], label: String) =
+      groups.flatMap(g => g.map(s => s -> (Gazetteer.normalize(s), label)))
+    (entries(Gazetteer.companies, "Company") ++
+      entries(Gazetteer.products, "Product") ++
+      entries(Gazetteer.persons, "Person") ++
+      entries(Gazetteer.operators, "Operator")).toMap
+  }
+
+  private lazy val mentionPattern: Pattern = {
+    val alts = surfaceToEntry.keys.toSeq.sortBy(-_.length).map(Pattern.quote)
+    Pattern.compile("(?<![A-Za-z0-9])(?:" + alts.mkString("|") + ")(?![A-Za-z0-9])")
+  }
+
+  private val joinedInYear = Pattern.compile(" joined in \\d{4}")
+
+  /** Pure per-turn extraction (unit-testable without Spark). */
+  def extractTurn(convId: String, turnIdx: Int, text: String): ExtractedTurn = {
+    val m = mentionPattern.matcher(text)
+    val ms = Seq.newBuilder[Mention]
+    while (m.find()) {
+      val surf = m.group()
+      val (norm, label) = surfaceToEntry(surf)
+      val id = Determinism.sha256(s"$convId:$turnIdx:${m.start()}").take(16)
+      ms += Mention(conv_id = convId, turn_idx = turnIdx, mention_id = id,
+        surface = surf, norm = norm, label = label, begin = m.start(), end = m.end())
+    }
+    val mentions = ms.result()
+    val rels = Seq.newBuilder[RelCand]
+    // same-turn rules: consecutive mention pairs with a verb connector between
+    mentions.sliding(2).foreach {
+      case Seq(a, b) =>
+        val gap = text.substring(a.end, math.max(a.end, b.begin)).trim
+        val pred = (a.label, gap, b.label) match {
+          case ("Person", "founded", "Company")   => Some("FOUNDED")
+          case ("Company", "launched", "Product") => Some("LAUNCHED")
+          case ("Person", "joined", "Company")    => Some("JOINED")
+          case _                                  => None
+        }
+        pred.foreach(p => rels += RelCand(convId, turnIdx, a.norm, p, Some(b.norm), anaphora = false))
+      case _ => ()
+    }
+    // cross-turn anaphora: "<Person> joined in <year>" with no Company mention
+    if (mentions.count(_.label == "Company") == 0) {
+      mentions.filter(_.label == "Person").foreach { p =>
+        if (joinedInYear.matcher(text).region(p.end, text.length).lookingAt())
+          rels += RelCand(convId, turnIdx, p.norm, "JOINED", None, anaphora = true)
+      }
+    }
+    ExtractedTurn(convId, turnIdx, mentions, rels.result())
+  }
+
+  /** Distributed extraction: one narrow pass over turns (no shuffle). */
+  def extract(turns: DataFrame): Dataset[ExtractedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .select("conv_id", "turn_idx", "text")
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        // mentionPattern is initialized lazily here, once per partition/JVM
+        it.map { case (c, t, x) => extractTurn(c, t, x) }
+      }
+  }
+
+  /** Flat mention rows. */
+  def mentions(extracted: Dataset[ExtractedTurn]): Dataset[Mention] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted.flatMap(_.mentions)
+  }
+
+  /** Relation candidates with anaphoric objects resolved: the object of an
+    * anaphoric JOINED is the Company norm of the most recent PRIOR turn that
+    * mentions a company (largest begin offset within that turn). Runs as two
+    * window passes partitioned by conv_id — this is the stage that motivates
+    * the explicit `repartition(conv_id)` at scale (long-conversation skew is
+    * bounded because a window's state is one conversation).
+    */
+  def relations(extracted: Dataset[ExtractedTurn]): DataFrame = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val perTurnCompany = extracted
+      .map { e =>
+        val c = e.mentions.filter(_.label == "Company").sortBy(_.begin).lastOption
+        (e.conv_id, e.turn_idx, c.map(_.norm))
+      }
+      .toDF("conv_id", "turn_idx", "company_norm")
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevCompany = perTurnCompany
+      .withColumn("prev_company_norm", last("company_norm", ignoreNulls = true).over(w))
+      .select("conv_id", "turn_idx", "prev_company_norm")
+    val rels = extracted.flatMap(_.rels).toDF()
+    rels
+      .join(prevCompany, Seq("conv_id", "turn_idx"), "left")
+      .withColumn("obj_norm",
+        when(col("anaphora"), col("prev_company_norm")).otherwise(col("obj_norm")))
+      .filter(col("obj_norm").isNotNull)
+      .select("conv_id", "turn_idx", "subj_norm", "pred", "obj_norm", "anaphora")
+  }
+}

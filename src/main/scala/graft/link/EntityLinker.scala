@@ -1,0 +1,50 @@
+package graft.link
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity linking: bind mention/relation norms to canonical entities via a
+  * SALTED broadcast-hash join against the canonical entity Dataset
+  * (BASELINE.json north_star; reference analog: extraction + resolver binding
+  * at ref:pipelines/kg_ingest.yaml:69-77).
+  *
+  * Why salt a broadcast join: while the dictionary fits in a broadcast, the
+  * join never shuffles and skew is moot — but the canonical entity table of a
+  * real deployment grows past the broadcast threshold, at which point Catalyst
+  * falls back to a shuffled hash join and hot keys ("Acme Corp" in 10^9
+  * mentions) straggle. Salting the PROBE side with pmod(hash(id), S) and
+  * exploding the BUILD side xS keeps every physical key's row count bounded by
+  * |hot key| / S in that fallback, and is a no-op cost under broadcast. AQE
+  * skew-join splitting (spark.sql.adaptive.skewJoin.enabled) is layered on top
+  * as the runtime safety net.
+  */
+object EntityLinker {
+
+  /** @param probe     rows to link
+    * @param probeKey  column name on probe holding the normalized surface
+    * @param probeSaltSeed column whose hash spreads a hot key (e.g. mention_id)
+    * @param canonical the canonical entity Dataset: (norm, canon_norm, canon_name, label)
+    * @param salt      number of salt buckets (RunConfig.saltBuckets)
+    */
+  def link(
+      probe: DataFrame,
+      probeKey: String,
+      probeSaltSeed: String,
+      canonical: DataFrame,
+      salt: Int
+  ): DataFrame = {
+    val salted = probe.withColumn("__salt", pmod(hash(col(probeSaltSeed)), lit(salt)))
+    val build = canonical
+      .select(
+        col("norm").as("__key"),
+        col("canon_norm"),
+        col("canon_name"),
+        col("label").as("canon_label"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    salted
+      .join(broadcast(build),
+        salted(probeKey) === build("__key") && salted("__salt") === build("__salt"),
+        "left")
+      .drop("__salt", "__key")
+  }
+}

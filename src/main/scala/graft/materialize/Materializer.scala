@@ -1,0 +1,123 @@
+package graft.materialize
+
+import graft.model.RunConfig
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph materialization: MERGE-semantics upsert, run-key stamping,
+  * partition-manifest lineage, rollback — the Spark re-expression of the
+  * reference's Neo4j writer + rollback Cypher
+  * (ref:src/fancyrag/kg/pipeline.py:822-925; ref:src/fancyrag/db/neo4j_queries.py:52-180).
+  *
+  * "Iceberg-style" storage in this sandbox = Parquet partitioned by part_id
+  * (= pmod(hash(conv_id), P), the analog of bucket(conv_id)) + a `_manifest`
+  * table carrying per-partition lineage and metrics; a real Iceberg catalog is
+  * a format/catalog swap behind the same calls (no Iceberg jar in
+  * /opt/spark/jars — SURVEY.md preamble).
+  */
+object Materializer {
+
+  def partId(convIdCol: String, numPartitions: Int) =
+    pmod(hash(col(convIdCol)), lit(numPartitions))
+
+  /** Stamp run key + part_id on any conv-keyed DataFrame
+    * (reference: every written node/rel gets ingest_run_key,
+    * ref:src/fancyrag/kg/pipeline.py:881-905).
+    */
+  def stamp(df: DataFrame, cfg: RunConfig): DataFrame =
+    df.withColumn("ingest_run_key", lit(cfg.runKey))
+      .withColumn("part_id", partId("conv_id", cfg.numPartitions))
+
+  /** MERGE-by-id upsert: the reference's Neo4j MERGE (match on id; ON CREATE
+    * sets everything, ON MATCH keeps existing non-null values — the
+    * coalesce(existing, incoming) rule of
+    * ref:src/fancyrag/db/neo4j_queries.py:87-106). Implemented as
+    * unionByName + groupBy(id) with keep-existing preference: existing rows
+    * win per column; property maps merge with existing keys winning.
+    */
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame = {
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)))
+    val others = tagged.columns.filter(c => c != idCol && c != "__src" && c != "props")
+    val hasProps = tagged.columns.contains("props")
+    val aggs =
+      others.map(c => min_by(col(c), col("__src")).as(c)) ++
+        (if (hasProps) Seq(
+          // union of keys, existing row's value wins per key
+          map_zip_with(
+            min_by(col("props"), col("__src")), // existing (or only) row
+            max_by(col("props"), col("__src")), // incoming (or only) row
+            (_, v1, v2) => coalesce(v1, v2)).as("props"))
+         else Nil)
+    tagged.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write a stage output partitioned by part_id, appending a manifest row per
+    * partition: (run_key, stage, part_id, input_checksum, rows). A partition
+    * is COMPLETE iff its manifest row exists with a matching input checksum —
+    * the resume contract (SURVEY.md T5; §7.5 hard part 5: a changed input
+    * invalidates stale completions).
+    */
+  def writeWithManifest(
+      df: DataFrame,
+      outDir: String,
+      stage: String,
+      cfg: RunConfig,
+      inputChecksums: DataFrame // (part_id, input_checksum)
+  ): Unit = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Append).partitionBy("part_id").parquet(s"$outDir/$stage")
+    val rowsPerPart = df.groupBy("part_id").agg(count(lit(1)).as("rows"))
+    val manifest = rowsPerPart
+      .join(inputChecksums, Seq("part_id"), "left")
+      .select(
+        lit(cfg.runKey).as("run_key"), lit(stage).as("stage"),
+        col("part_id"), coalesce(col("input_checksum"), lit("")).as("input_checksum"),
+        col("rows"))
+    manifest.write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
+  }
+
+  /** part_ids already completed for a stage under matching input checksums. */
+  def completedPartitions(
+      spark: SparkSession,
+      outDir: String,
+      stage: String,
+      inputChecksums: DataFrame): DataFrame = {
+    val path = s"$outDir/_manifest"
+    val manifest =
+      try spark.read.parquet(path)
+      catch { case _: Throwable => return inputChecksums.select("part_id").limit(0) }
+    manifest
+      .filter(col("stage") === stage)
+      .join(inputChecksums, Seq("part_id", "input_checksum"))
+      .select("part_id")
+      .distinct()
+  }
+
+  /** Per-partition input checksum: order-insensitive aggregate of per-row
+    * hashes (sum of xxhash64 over the canonical row string) — cheap, stable
+    * under partition-internal reordering.
+    */
+  def inputChecksums(turns: DataFrame, numPartitions: Int): DataFrame =
+    turns
+      .withColumn("part_id", partId("conv_id", numPartitions))
+      .groupBy("part_id")
+      .agg(sum(xxhash64(col("conv_id"), col("turn_idx"), col("text")).cast("decimal(38,0)"))
+        .cast("string").as("input_checksum"))
+
+  /** Rollback: remove a failed run's rows — the compensating delete of
+    * ref:src/fancyrag/db/neo4j_queries.py:122-180, expressed as a left_anti
+    * join on ingest_run_key and rewrite.
+    */
+  def rollback(df: DataFrame, badRunKeys: DataFrame): DataFrame =
+    df.join(badRunKeys.toDF("ingest_run_key"), Seq("ingest_run_key"), "left_anti")
+
+  /** Reset: the reference's MATCH (n) DETACH DELETE n
+    * (ref:src/fancyrag/db/neo4j_queries.py:52-55) = overwrite the output dirs.
+    */
+  def reset(spark: SparkSession, outDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.qa
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingestion QA — the engine's self-verifying gate, mirroring the reference's
+  * IngestionQaEvaluator (ref:src/fancyrag/qa/evaluator.py:91-268) and its
+  * Cypher count/anti-join helpers (ref:src/fancyrag/db/neo4j_queries.py:183-297).
+  * Default thresholds are all-zero (ref:src/fancyrag/cli/kg_build_main.py:81-110);
+  * any anomaly above threshold fails the run, which triggers rollback
+  * (ref:src/fancyrag/kg/phases.py:418-420).
+  */
+object QaEvaluator {
+
+  final case class QaThresholds(
+      maxMissingEmbeddings: Long = 0,
+      maxOrphanChunks: Long = 0,
+      maxChecksumMismatches: Long = 0,
+      maxSemanticOrphans: Long = 0
+  )
+
+  final case class QaResult(
+      status: String, // "pass" | "fail"
+      counts: Map[String, Long],
+      anomalies: Map[String, Long],
+      tokenStats: Map[String, Double],
+      tokenHistogram: Seq[(String, Long)]
+  )
+
+  /** Fixed token-histogram bins (ref:src/fancyrag/qa/evaluator.py:94). */
+  val bins: Seq[Int] = Seq(64, 128, 256, 512, 1024, 2048)
+
+  /** Token estimate = max(1, ceil(len/4)) (ref:src/fancyrag/qa/evaluator.py:352-358). */
+  def tokenEstimate = greatest(lit(1), ceil(length(col("text")) / 4)).cast("long")
+
+  def tokenBucket = {
+    val t = tokenEstimate
+    bins.foldRight(lit(">2048")) { (b, acc) => when(t <= b, lit(s"<=$b")).otherwise(acc) }
+  }
+
+  /** Orphan chunks: chunk nodes with no incoming HAS_CHUNK
+    * (ref:src/fancyrag/db/neo4j_queries.py:221-238) — left_anti join.
+    */
+  def orphanChunks(chunks: DataFrame, edges: DataFrame): DataFrame =
+    chunks
+      .withColumn("__node_id", concat(lit("chunk:"), col("chunk_uid")))
+      .join(
+        edges.filter(col("rel_type") === "HAS_CHUNK")
+          .select(col("dst").as("__node_id")),
+        Seq("__node_id"), "left_anti")
+      .drop("__node_id")
+
+  /** Per-turn text-equality invariant (BASELINE.json input_hint): recompute
+    * sha256 of the source turns and join against the checksums persisted at
+    * ingest; any mismatch is an anomaly
+    * (reference analog ref:src/fancyrag/db/neo4j_queries.py:241-261).
+    */
+  def checksumMismatches(sourceTurns: DataFrame, storedChecksums: DataFrame): DataFrame =
+    sourceTurns
+      .select(col("conv_id"), col("turn_idx"), sha2(col("text"), 256).as("expected"))
+      .join(storedChecksums.select(col("conv_id"), col("turn_idx"), col("checksum").as("stored")),
+        Seq("conv_id", "turn_idx"), "inner")
+      .filter(coalesce(col("stored"), lit("")) =!= col("expected"))
+
+  /** Orphan semantic entities: entity nodes with no edge in either direction
+    * (ref:src/fancyrag/db/neo4j_queries.py:283-297).
+    */
+  def orphanEntities(entityNodes: DataFrame, edges: DataFrame): DataFrame = {
+    val endpoints = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    entityNodes.join(endpoints, Seq("id"), "left_anti")
+  }
+
+  def evaluate(
+      sourceTurns: DataFrame,
+      storedChecksums: DataFrame,
+      chunks: DataFrame, // with embedding column
+      nodes: DataFrame,
+      edges: DataFrame,
+      thresholds: QaThresholds = QaThresholds()
+  ): QaResult = {
+    // one pass for label counts
+    val labelCounts = nodes
+      .select(explode(col("labels")).as("label"))
+      .groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edgeCounts = edges.groupBy("rel_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missingEmb = chunks
+      .filter(col("embedding").isNull || size(col("embedding")) === 0).count()
+    val orphans = orphanChunks(chunks, edges).count()
+    val mismatches = checksumMismatches(sourceTurns, storedChecksums).count()
+    val entityNodes = nodes.filter(array_contains(col("labels"), "__Entity__"))
+    val semanticEdges = edges.filter(col("rel_type").isin("FOUNDED", "JOINED", "LAUNCHED", "INGESTED_BY"))
+    val semOrphans = orphanEntities(entityNodes, semanticEdges).count()
+
+    val statsRow = chunks.agg(
+      count(lit(1)).as("chunks"),
+      sum(tokenEstimate).as("tok_total"),
+      max(tokenEstimate).as("tok_max"),
+      avg(tokenEstimate).as("tok_mean"),
+      sum(length(col("text"))).as("chars_total")).collect()(0)
+    val hist = chunks.groupBy(tokenBucket.as("bucket")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+
+    val anomalies = Map(
+      "missing_embeddings" -> missingEmb,
+      "orphan_chunks" -> orphans,
+      "checksum_mismatches" -> mismatches,
+      "semantic_orphans" -> semOrphans)
+    val pass = missingEmb <= thresholds.maxMissingEmbeddings &&
+      orphans <= thresholds.maxOrphanChunks &&
+      mismatches <= thresholds.maxChecksumMismatches &&
+      semOrphans <= thresholds.maxSemanticOrphans
+    QaResult(
+      status = if (pass) "pass" else "fail",
+      counts = labelCounts.map { case (k, v) => s"label:$k" -> v } ++
+        edgeCounts.map { case (k, v) => s"rel:$k" -> v },
+      anomalies = anomalies,
+      tokenStats = Map(
+        "total" -> statsRow.getAs[Long]("tok_total").toDouble,
+        "max" -> statsRow.getAs[Long]("tok_max").toDouble,
+        "mean" -> statsRow.getAs[Double]("tok_mean"),
+        "chars_total" -> statsRow.getAs[Long]("chars_total").toDouble),
+      tokenHistogram = hist)
+  }
+}

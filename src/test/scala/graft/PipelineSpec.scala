@@ -1,0 +1,97 @@
+package graft
+
+import graft.app.KgBuild
+import graft.model.{RunConfig, Triple}
+import graft.qa.QaEvaluator
+import graft.source.TranscriptGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end golden tests over the seeded synthetic transcript table
+  * (FIXTURES.md §1/§3): triple P/R >= 0.95 vs the golden set known by
+  * construction, the per-turn text-equality invariant, and QA invariants.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  val NumConvs = 40L
+  lazy val turns = TranscriptGen.table(spark, NumConvs).toDF().cache()
+  lazy val cfg = RunConfig(runKey = "kg-build:test-small", numPartitions = 8)
+  lazy val g = KgBuild.buildGraph(turns, cfg)
+
+  test("generator is deterministic") {
+    val a = TranscriptGen.conversation(3L)
+    val b = TranscriptGen.conversation(3L)
+    assert(a == b)
+    assert(TranscriptGen.conversation(0L).size > 5 * TranscriptGen.conversation(1L).size,
+      "conversation 0 must be the hot/long one")
+  }
+
+  test("triple P/R >= 0.95 vs golden set (target: exact match)") {
+    val golden = TranscriptGen.goldenTriples(NumConvs)
+    val emitted = g.triples.collect()
+      .map(r => Triple(r.getString(0), r.getString(1), r.getString(2))).toSet
+    val tp = (emitted intersect golden).size.toDouble
+    val precision = if (emitted.isEmpty) 0.0 else tp / emitted.size
+    val recall = if (golden.isEmpty) 0.0 else tp / golden.size
+    withClue(s"precision=$precision recall=$recall emitted=${emitted.size} golden=${golden.size} " +
+      s"fp=${(emitted -- golden).take(5)} fn=${(golden -- emitted).take(5)}") {
+      assert(precision >= 0.95 && recall >= 0.95)
+    }
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
+    val mism = QaEvaluator.checksumMismatches(turns, g.turnChecksums).count()
+    assert(mism == 0)
+  }
+
+  test("each operator (tool) turn yields exactly one INGESTED_BY edge") {
+    val expected = TranscriptGen.operatorTurnCount(NumConvs)
+    val got = g.edges.filter(col("rel_type") === "INGESTED_BY").count()
+    assert(got == expected, s"expected $expected INGESTED_BY edges, got $got")
+  }
+
+  test("every chunk has a HAS_CHUNK edge (no orphans) and an embedding") {
+    assert(QaEvaluator.orphanChunks(g.chunks, g.edges).count() == 0)
+    assert(g.chunks.filter(col("embedding").isNull || size(col("embedding")) === 0).count() == 0)
+    assert(g.chunks.filter(size(col("embedding")) =!= KgBuild.EmbeddingDim).count() == 0)
+  }
+
+  test("closed-world schema: every semantic edge matches an allowed pattern") {
+    val patterns = graft.model.GraphSchema.default.patterns.map(p => s"${p._2}").toSet
+    val preds = g.edges.select("rel_type").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(patterns + "HAS_CHUNK"))
+    // subj/obj labels of semantic relations respect the pattern table
+    val bad = g.relations.filter(
+      !(col("pred") === "FOUNDED" && col("subj_label") === "Person" && col("obj_label") === "Company") &&
+        !(col("pred") === "JOINED" && col("subj_label") === "Person" && col("obj_label") === "Company") &&
+        !(col("pred") === "LAUNCHED" && col("subj_label") === "Company" && col("obj_label") === "Product"))
+    assert(bad.count() == 0)
+  }
+
+  test("QA evaluation passes on a clean build") {
+    val qa = QaEvaluator.evaluate(turns, g.turnChecksums, g.chunks, g.nodes, g.edges)
+    withClue(qa.anomalies.toString) { assert(qa.status == "pass") }
+    assert(qa.counts("label:Document") == NumConvs)
+    assert(qa.counts("label:Chunk") == g.chunks.count())
+    assert(qa.counts("rel:HAS_CHUNK") == g.chunks.count())
+    assert(qa.tokenHistogram.map(_._2).sum == g.chunks.count())
+  }
+
+  test("QA fails on a corrupted checksum (gating fixture, FIXTURES.md §6)") {
+    val corrupted = g.turnChecksums.withColumn("checksum",
+      when(col("conv_id") === "conv-000001" && col("turn_idx") === 1, lit("deadbeef"))
+        .otherwise(col("checksum")))
+    val qa = QaEvaluator.evaluate(turns, corrupted, g.chunks, g.nodes, g.edges)
+    assert(qa.status == "fail")
+    assert(qa.anomalies("checksum_mismatches") == 1)
+  }
+
+  test("canonicalization collapses aliases: no two entity nodes share a canon name+label") {
+    val dupes = g.nodes
+      .filter(array_contains(col("labels"), "__Entity__"))
+      .groupBy(col("name"), col("labels")).count()
+      .filter(col("count") > 1)
+    assert(dupes.count() == 0)
+  }
+}

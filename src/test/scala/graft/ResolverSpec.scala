@@ -1,0 +1,50 @@
+package graft
+
+import graft.canon.Resolver
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResolverSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("connected components resolves transitive chains") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), // one chain -> rep "a"
+      ("x", "y"), // pair -> rep "x"
+      ("z", "z") // singleton
+    ).toDF("u", "v")
+    val cc = Resolver.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc("a") == "a" && cc("b") == "a" && cc("c") == "a" && cc("d") == "a")
+    assert(cc("x") == "x" && cc("y") == "x")
+    assert(cc("z") == "z")
+  }
+
+  test("connected components is idempotent (resolve(resolve(g)) == resolve(g))") {
+    val edges = Seq(("m", "n"), ("n", "o")).toDF("u", "v")
+    val once = Resolver.connectedComponents(edges)
+    // feeding the output mapping back in as edges must not change anything
+    val again = Resolver.connectedComponents(once.toDF("u", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val first = once.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(first.forall { case (m, rep) => again(m) == rep })
+  }
+
+  test("canonical entity dataset maps every alias of a group to its head") {
+    val canon = Resolver.canonicalEntities(spark)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getString(3)))
+      .toMap
+    assert(canon("acme") == ("Acme Corp", "Company"))
+    assert(canon("acme corporation") == ("Acme Corp", "Company"))
+    assert(canon("acme corp") == ("Acme Corp", "Company"))
+    assert(canon("the pilot") == ("GraphRAG Pilot", "Product"))
+    assert(canon("alice") == ("Alice Nguyen", "Person"))
+    assert(canon("etl-daemon") == ("etl-daemon", "Operator"))
+  }
+
+  test("alias chains in the gazetteer genuinely need transitive closure") {
+    // at least one group has >= 3 surfaces => a chain a-b, b-c with no a-c edge
+    assert(graft.extract.Gazetteer.companies.exists(_.size >= 3))
+  }
+}
