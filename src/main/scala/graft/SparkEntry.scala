@@ -5,6 +5,7 @@ import graft.canon.Resolver
 import graft.chunk.ChunkStage
 import graft.extract.Extractor
 import graft.model.{ChunkProfile, RunConfig}
+import graft.operators.{Ann, Dedup, Multimodal, Retrieval, TextAnalysis}
 import graft.source.{TranscriptDeriver, TranscriptGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -163,8 +164,98 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,3)")).cast("double").as("v"))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    // ---- entity-linking join shape with oracle (J7 demo over sf tables) ----
+    "q_gazetteer_join" -> ((s, d) => {
+      import s.implicits._
+      val dict = gazetteerTerms.toDF("term")
+      TranscriptDeriver.turns(s, d)
+        .join(broadcast(dict), instr(col("text"), col("term")) > 0)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_turn_mentions"),
+          countDistinct(col("conv_id")).as("n_convs"))
+        .orderBy("term")
+    }),
+
+    // ---- training-data curation operators ----
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashClusters(docs(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy("id")),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.withSimhash(docs(s, d), "doc_id", "text")
+        .orderBy("id")),
+    "q_dedup_ngram" -> ((s, d) => {
+      // duplicate-injected corpus so exact-Jaccard pair finding has hits
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val dupes = base.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.ngramJaccardPairs(base.unionByName(dupes), "doc_id", "text",
+        n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_ann_brute" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, nBits = 16, bands = 8)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("query_id", "rank")
+    }),
+    "q_cosine_neardup" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Ann.cosineNearDupPairs(emb, threshold = -1.0, nBits = 16, bands = 8)
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(200)
+        .withColumn("cos", round(col("cos"), 4))
+    }),
+    "q_lang_id" -> ((s, d) =>
+      TextAnalysis.withLangId(docs(s, d), "text")
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")),
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.withQuality(docs(s, d), "text")
+        .select("doc_id", "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
+          "digit_ratio", "stopword_ratio", "quality_score_ppm")
+        .orderBy("doc_id")),
+    "q_token_counts" -> ((s, d) =>
+      TextAnalysis.withTokenCounts(docs(s, d), "text")
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_est_tokens")
+        .orderBy("doc_id")),
+    "q_fingerprint" -> ((s, d) =>
+      TextAnalysis.withFingerprint(docs(s, d), "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")),
+    "q_multimodal_features" -> ((s, _) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 500L)).toDF()
+        .select("media_id", "kind", "n_bytes", "frames_sampled")
+        .orderBy("media_id")),
+
+    // ---- retrieval surface (R1-R3 + J6) over the synthetic KG ----
+    "q_retrieval_hybrid" -> ((s, _) => {
+      val turns = TranscriptGen.table(s, 20L).toDF()
+      val g = KgBuild.buildGraph(turns, RunConfig(runKey = "kg-build:retrieval"))
+      Retrieval.hybrid(g.chunks, "Who founded Acme Corp?", 5)
+        .withColumn("score", round(col("score"), 4))
+        .select("chunk_uid", "score")
+    }),
+    "q_semantic_expansion" -> ((s, _) => {
+      val turns = TranscriptGen.table(s, 20L).toDF()
+      val g = KgBuild.buildGraph(turns, RunConfig(runKey = "kg-build:retrieval"))
+      val matches = Retrieval.hybrid(g.chunks, "Who founded Acme Corp?", 5)
+      Retrieval.semanticExpansion(matches, g.nodes, g.edges)
+        .select(col("chunk_uid"), size(col("semantic_nodes")).as("n_nodes"),
+          size(col("semantic_relationships")).as("n_rels"))
+        .orderBy("chunk_uid")
+    })
   )
+
+  val gazetteerTerms: Seq[String] = Seq(
+    "spark", "join", "window", "filter", "merge",
+    "vector", "stream", "hash", "agg", "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -250,7 +341,55 @@ object SparkEntry {
       "q_event_windows" ->
         """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start, event_type,
           |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS v
-          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_gazetteer_join" -> {
+        val vals = gazetteerTerms.map(t => s"('$t')").mkString(", ")
+        s"""WITH $turnsCte, dict(term) AS (VALUES $vals)
+           |SELECT term, count(*) AS n_turn_mentions,
+           |       count(DISTINCT conv_id) AS n_convs
+           |FROM turns, dict
+           |WHERE contains(text, term)
+           |GROUP BY term ORDER BY term""".stripMargin
+      },
+      "q_ann_brute" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+          |s AS (
+          |  SELECT q.query_id, e.vec_id,
+          |    list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+          |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          |    / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          |         * list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS score
+          |  FROM embeddings e, q),
+          |r AS (SELECT query_id, vec_id, score,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |      FROM s)
+          |SELECT query_id, CAST(rn AS INT) AS rank, vec_id, round(score, 4) AS score
+          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+      "q_text_quality" ->
+        """WITH f AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS BIGINT) AS n_chars,
+          |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+          |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1), 6) AS alpha_ratio,
+          |    round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
+          |    round(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1), 6) AS digit_ratio,
+          |    round(coalesce(list_sum(list_transform(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+          |        t -> CASE WHEN t IN ('the','and','of','to','is','in','that','it','was','for') THEN 1 ELSE 0 END)), 0)
+          |      / greatest(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS DOUBLE), 1.0), 6) AS stopword_ratio
+          |  FROM documents)
+          |SELECT doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio, digit_ratio, stopword_ratio,
+          |  CAST(floor((least(n_tokens / 100.0, 1.0) * 0.3 + alpha_ratio * 0.3 +
+          |        stopword_ratio * 2.0 * 0.2 + (1.0 - least(digit_ratio * 5, 1.0)) * 0.2) * 1e6 + 0.5) AS BIGINT) AS quality_score_ppm
+          |FROM f ORDER BY doc_id""".stripMargin,
+      "q_token_counts" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+          |  CAST(coalesce(list_sum(list_transform(
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0),
+          |    w -> CAST(ceil(length(regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')) / 4.0) AS BIGINT)
+          |       + length(regexp_replace(w, '[a-zA-Z0-9]', '', 'g')))), 0) AS BIGINT) AS n_bpe_tokens,
+          |  CAST(greatest(1, ceil(length(text) / 4.0)) AS BIGINT) AS n_est_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin
     )
   }
 }

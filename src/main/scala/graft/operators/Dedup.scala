@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.canon.Resolver
+import graft.util.Determinism
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * Exact dedup is a hash-groupBy; near-dup families follow the standard
+  * sketch → band → bucket-join → verify → connected-components shape so the
+  * candidate-pair step is a co-partitioned equi-join (never an all-pairs
+  * product), which is what survives 100 TB:
+  *   - MinHash+LSH: per-row signature (narrow mapPartitions), band keys,
+  *     self-join on (band_idx, band_hash), similarity-verify on signatures,
+  *     cluster with the same CC fixpoint used for entity canonicalization.
+  *   - SimHash: 64-bit weighted-token fingerprint; pigeonhole banding on
+  *     4x16-bit keys guarantees recall for hamming distance <= 3.
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min id) per identical normalized text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------- MinHash ----------------
+
+  /** Character-shingle MinHash signature; pure and deterministic. */
+  def minhashSignature(text: String, numHashes: Int, shingle: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (text.length >= shingle) {
+      var i = 0
+      while (i + shingle <= text.length) {
+        // rolling base hash of the shingle
+        var h = 0x2545f4914f6cdd1dL
+        var j = i
+        while (j < i + shingle) { h = Determinism.mix64(h ^ text.charAt(j).toLong); j += 1 }
+        var k = 0
+        while (k < numHashes) {
+          val hk = Determinism.mix64(h ^ (k.toLong * 0x9e3779b97f4a7c15L))
+          if (hk < sig(k)) sig(k) = hk
+          k += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** (id, sig) signatures — a narrow pass, no shuffle. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingle: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, minhashSignature(if (t == null) "" else t, numHashes, shingle))
+      })
+      .toDF("id", "sig")
+  }
+
+  /** Candidate pairs via banded LSH + signature-estimated Jaccard verify.
+    * bands * rowsPerBand must equal numHashes. Returns (id_a, id_b, est_jaccard)
+    * with id_a < id_b, est >= threshold.
+    */
+  def minhashPairs(sigs: DataFrame, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        xxhash64(slice(col("sig"), bi * rows + 1, rows), lit(bi)).as("band_hash"))
+    }
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("sig"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / size(col("sig_a")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Full MinHash-LSH dedup: cluster near-duplicates, keep min id per cluster.
+    * Returns (id, cluster_rep).
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingle: Int = 5, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, numHashes, shingle)
+    val pairs = minhashPairs(sigs, numHashes, bands, threshold)
+    val selfEdges = sigs.select(col("id").cast("string").as("u"),
+      col("id").cast("string").as("v"))
+    val edges = pairs
+      .select(col("id_a").cast("string").as("u"), col("id_b").cast("string").as("v"))
+      .union(selfEdges)
+    Resolver.connectedComponents(edges)
+      .select(col("member").cast("long").as("id"), col("rep").cast("long").as("cluster_rep"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash(text: String): Long = {
+    val votes = new Array[Int](64)
+    var start = -1
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      val ws = i == n || text.charAt(i).isWhitespace
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) {
+        var h = 0x6a09e667f3bcc909L
+        var j = start
+        while (j < i) { h = Determinism.mix64(h ^ text.charAt(j).toLong); j += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        start = -1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash(if (t == null) "" else t)) })
+      .toDF("id", "simhash")
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxDist, found by pigeonhole
+    * banding: split 64 bits into (maxDist+1) bands; any pair within maxDist
+    * must agree exactly on at least one band — so the bucket join has full
+    * recall and the hamming check is only run inside buckets.
+    */
+  def simhashPairs(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val bandCols = (0 until nBands).map { bi =>
+      struct(lit(bi).as("bidx"),
+        shiftright(col("simhash"), bi * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
+    }
+    val banded = hashed
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"), col("simhash"),
+        col("band.bidx").as("band_idx"), col("band.bkey").as("band_key"))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------- n-gram Jaccard (exact, for verify/eval) ----------------
+
+  /** Exact word n-gram Jaccard over candidate pairs that share at least one
+    * n-gram. Inverted-index join: explode n-grams, pair within posting lists,
+    * count shared / union. Exact but quadratic in posting-list length — use
+    * after LSH at scale; standalone only at eval scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    val grams = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+    val posting = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("gram"))
+    val a = posting.select(col("gram"), col("id").as("id_a"), col("n_grams").as("na"))
+    val b = posting.select(col("gram"), col("id").as("id_b"), col("n_grams").as("nb"))
+    a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting. All built from codegen'd
+  * builtins (no UDFs) so they run inside whole-stage codegen at scan speed.
+  */
+object TextAnalysis {
+
+  /** Tiny high-frequency stopword lists per language (function-word n-gram
+    * heuristic). Deliberately small: the signal is the RATIO of hits, not
+    * coverage.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pas", "pour", "que", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "por", "con", "para", "del")
+  )
+
+  // ASCII token classes only: the DuckDB oracle's RE2 lacks \uXXXX escapes,
+  // so both engines share this exact pattern for value parity.
+  private def tokens(textCol: Column): Column =
+    split(lower(textCol), "[^a-z0-9']+")
+
+  /** Stopword-hit count for one language over a tokens array. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    aggregate(
+      transform(toks, t =>
+        when(t.isin(stopwords(lang): _*), 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
+  /** Language ID: argmax over per-language stopword-hit ratios; "und"
+    * (undetermined) when nothing scores.
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordHits(toks, l).as("hits"), lit(l).as("lang"))
+    }
+    df.withColumn("lang_scores", array(scored: _*))
+      .withColumn("best", array_max(col("lang_scores")))
+      .withColumn("lang_pred",
+        when(col("best.hits") > 0, col("best.lang")).otherwise(lit("und")))
+      .drop("lang_scores", "best")
+  }
+
+  /** Quality features + composite score: length, alpha ratio, punctuation
+    * ratio, digit ratio, mean word length, stopword ratio (en). The composite
+    * is a fixed linear blend — a deterministic analog of fasttext-style
+    * quality classifiers used in corpus curation.
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?'\"()-]", "")).cast("double")
+    val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val toks = tokens(t)
+    val nToks = size(filter(toks, x => length(x) > 0)).cast("double")
+    val sw = stopwordHits(toks, "en").cast("double")
+    df.withColumn("n_chars", len.cast("long"))
+      .withColumn("n_tokens", nToks.cast("long"))
+      .withColumn("alpha_ratio", round(alpha / greatest(len, lit(1.0)), 6))
+      .withColumn("punct_ratio", round(punct / greatest(len, lit(1.0)), 6))
+      .withColumn("digit_ratio", round(digit / greatest(len, lit(1.0)), 6))
+      .withColumn("stopword_ratio", round(sw / greatest(nToks, lit(1.0)), 6))
+      // integer micro-units: floor(x*1e6 + 0.5) is bit-deterministic across
+      // engines (round() half-up differs at double .5 boundaries)
+      .withColumn("quality_score_ppm", floor(
+        (least(nToks / 100.0, lit(1.0)) * 0.3 +
+          col("alpha_ratio") * 0.3 +
+          col("stopword_ratio") * 2.0 * 0.2 +
+          (lit(1.0) - least(col("digit_ratio") * 5, lit(1.0))) * 0.2) * 1e6 + 0.5)
+        .cast("long"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish estimate
+    * (word pieces of <=4 chars + ceil(len/4) fallback, the reference's
+    * estimate, ref:src/fancyrag/qa/evaluator.py:352-358).
+    */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = size(filter(split(t, "\\s+"), x => length(x) > 0))
+    // BPE-ish: alnum runs contribute ceil(len/4) pieces, other non-space
+    // chars one piece each
+    val pieces = aggregate(
+      filter(split(t, "\\s+"), x => length(x) > 0),
+      lit(0L),
+      (acc, w) => acc +
+        ceil(length(regexp_replace(w, "[^a-zA-Z0-9]", "")).cast("double") / 4).cast("long") +
+        length(regexp_replace(w, "[a-zA-Z0-9]", "")).cast("long"))
+    df.withColumn("n_ws_tokens", ws.cast("long"))
+      .withColumn("n_bpe_tokens", pieces)
+      .withColumn("n_est_tokens", greatest(lit(1), ceil(length(t) / 4)).cast("long"))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): min xxhash64 over
+    * all w-length character windows sampled via the token stream. Cheap,
+    * order-sensitive, collision-resistant enough for grouping near-identical
+    * boilerplate.
+    */
+  def withFingerprint(df: DataFrame, textCol: String, window: Int = 8): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val windows = transform(
+      sequence(lit(0), greatest(size(toks) - window, lit(0))),
+      i => xxhash64(array_join(slice(toks, i + 1, lit(window)), " ")))
+    df.withColumn("fingerprint",
+      when(size(toks) === 0, lit(0L)).otherwise(array_min(windows)))
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and then runs far away " * 5
+  lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")), // near-dup of 0
+    (3L, "completely different content about spark window aggregation " * 6),
+    (4L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == 4)
+    assert(d.filter(col("n_copies") === 2 && col("keep_id") === 0).count() == 1)
+  }
+
+  test("minhash: identical texts get identical signatures; near-dups cluster") {
+    val s0 = Dedup.minhashSignature(base, 64, 5)
+    assert(s0.sameElements(Dedup.minhashSignature(base, 64, 5)))
+    val clusters = Dedup.minhashClusters(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(0L) == clusters(1L), "exact dups must cluster")
+    assert(clusters(0L) == clusters(2L), "near-dups must cluster")
+    assert(clusters(3L) != clusters(0L) && clusters(4L) != clusters(0L))
+  }
+
+  test("simhash: hamming 0 for identical, banding finds all pairs within maxDist") {
+    assert(Dedup.simhash(base) == Dedup.simhash(base))
+    val sdocs = Seq(
+      (0L, base),
+      (1L, base),
+      (2L, base + " appended"), // one extra token -> small hamming
+      (3L, "completely different content about spark window aggregation " * 6)
+    ).toDF("doc_id", "text")
+    val texts = Map(0L -> base, 1L -> base, 2L -> (base + " appended"),
+      3L -> "completely different content about spark window aggregation " * 6)
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(Dedup.simhash(texts(a)) ^ Dedup.simhash(texts(b)))
+    val maxDist = math.max(3, ham(0L, 2L)) // banding recall guarantee is what we test
+    val pairs = Dedup.simhashPairs(Dedup.withSimhash(sdocs, "doc_id", "text"), maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 2L && h == ham(0L, 2L) })
+    // exhaustive ground truth: banding found exactly the pairs within maxDist
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b && ham(a, b) <= maxDist
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)) == expected)
+  }
+
+  test("ngram jaccard: exact similarity on candidate pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L })
+  }
+
+  lazy val vecs = {
+    val rows = (0L until 50L).map { i =>
+      (i, graft.functions.Embeddings.embed(s"document number $i with topic ${i % 5}", 32))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force ANN: self is rank-1 with cosine ~1") {
+    val q = vecs.filter(col("vec_id") < 3)
+    val top = Ann.bruteForceTopK(vecs, q, 5)
+    val r1 = top.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    (0L until 3L).foreach { i =>
+      assert(r1(i)._1 == i, s"query $i rank1 should be itself")
+      assert(math.abs(r1(i)._2 - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH ANN: recall@5 vs brute force is high on clustered vectors") {
+    val q = vecs.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(vecs, q, 5).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(vecs, q, 5, nBits = 16, bands = 8).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    // self must always be found (identical signature in every band)
+    (0L until 10L).foreach(i => assert(lsh.contains((i, i))))
+  }
+
+  test("cosine near-dup pairs finds duplicate embeddings") {
+    val withDup = vecs.union(Seq((99L,
+      graft.functions.Embeddings.embed("document number 0 with topic 0", 32)))
+      .toDF("vec_id", "embedding"))
+    val pairs = Ann.cosineNearDupPairs(withDup, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 99L)))
+  }
+
+  test("language id picks the stopword-matching language") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was happy for hours"),
+      (2L, "der hund ist nicht mit der katze und das ist gut"),
+      (3L, "le chat est dans la maison et les oiseaux pour une heure"),
+      (4L, "xqz zzz qqq")
+    ).toDF("id", "text")
+    val got = TextAnalysis.withLangId(df, "text")
+      .select("id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr" && got(4L) == "und")
+  }
+
+  test("quality score is bounded and ranks clean text above junk") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and it was good for everyone involved in that story."),
+      (2L, "11111 2222 333 !!!! @@@@ 0000000 9999")
+    ).toDF("id", "text")
+    val q = TextAnalysis.withQuality(df, "text")
+      .select("id", "quality_score_ppm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q.values.forall(v => v >= 0L && v <= 1000000L))
+    assert(q(1L) > q(2L))
+  }
+
+  test("token counts: ws, bpe-ish, and reference estimate") {
+    val df = Seq((1L, "hello world, this is a supercalifragilistic test")).toDF("id", "text")
+    val r = TextAnalysis.withTokenCounts(df, "text").collect()(0)
+    assert(r.getAs[Long]("n_ws_tokens") == 7)
+    assert(r.getAs[Long]("n_bpe_tokens") > 7) // long word splits into pieces
+    assert(r.getAs[Long]("n_est_tokens") == math.ceil(48 / 4.0).toLong)
+  }
+
+  test("fingerprint: equal for identical text, differs for different text") {
+    val df = Seq((1L, base), (2L, base), (3L, "something else entirely here now ok " * 4))
+      .toDF("id", "text")
+    val fp = TextAnalysis.withFingerprint(df, "text")
+      .select("id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("multimodal plumbing: deterministic features, correct byte counts") {
+    val media = Multimodal.syntheticMedia(spark, 30L)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 30)
+    feats.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(f.n_bytes >= 64)
+      if (f.kind == "video") assert(f.frames_sampled >= 1)
+    }
+    // determinism
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+}
