@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // whole-stage codegen emits many classes; the default 240m code cache
+  // fills, the JIT shuts off, and hot loops fall back to the interpreter
+  // (observed: 6s -> 57s swings on identical jobs)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -201,13 +201,13 @@ object SparkEntry {
     }),
     "q_ann_lsh" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, nBits = 16, bands = 8)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), 5, nBits = 32, bands = 4)
         .withColumn("score", round(col("score"), 4))
         .orderBy("query_id", "rank")
     }),
     "q_cosine_neardup" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      Ann.cosineNearDupPairs(emb, threshold = -1.0, nBits = 16, bands = 8)
+      Ann.cosineNearDupPairs(emb, threshold = 0.2, nBits = 32, bands = 2)
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))
         .limit(200)
         .withColumn("cos", round(col("cos"), 4))

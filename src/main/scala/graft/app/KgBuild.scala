@@ -34,18 +34,27 @@ object KgBuild {
   val SemanticSource = "graft.kg_build.deterministic.v1"
   val EmbeddingDim = 64
 
-  /** Pure-transform graph construction (no writes). */
+  /** Pure-transform graph construction (no writes).
+    *
+    * Shuffle layout: ONE explicit repartition on conv_id up front (persisted);
+    * every per-conversation groupBy/window downstream then reuses that
+    * partitioning instead of re-exchanging 5 times — the explicit
+    * repartition-by-conv_id called for by the north_star's skew note.
+    * Intermediates are persisted (dropped by callers via
+    * spark.catalog.clearCache() when the tables have been consumed).
+    */
   def buildGraph(turns: DataFrame, cfg: RunConfig): GraphTables = {
     val spark = turns.sparkSession
+    val t = turns.repartition(col("conv_id")).persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- chunk ----
-    val chunksRaw = ChunkStage.chunks(turns, cfg.profile)
+    val chunksRaw = ChunkStage.chunks(t, cfg.profile)
     val chunks = Embeddings.withEmbedding(chunksRaw, "text", EmbeddingDim)
-    val turnChecksums = turns.select(
+    val turnChecksums = t.select(
       col("conv_id"), col("turn_idx"), sha2(col("text"), 256).as("checksum"))
 
     // ---- extract ----
-    val extracted = Extractor.extract(turns).persist(StorageLevel.MEMORY_AND_DISK)
+    val extracted = Extractor.extract(t).persist(StorageLevel.MEMORY_AND_DISK)
     val mentions = Extractor.mentions(extracted).toDF()
     val relCands = Extractor.relations(extracted)
 
@@ -75,7 +84,7 @@ object KgBuild {
     def entId(label: org.apache.spark.sql.Column, norm: org.apache.spark.sql.Column) =
       concat(lit("ent:"), label, lit(":"), norm)
 
-    val docNodes = ChunkStage.documents(turns).select(
+    val docNodes = ChunkStage.documents(t).select(
       concat(lit("doc:"), col("conv_id")).as("id"),
       array(lit("Document")).as("labels"),
       col("conv_id").as("name"),
@@ -92,7 +101,7 @@ object KgBuild {
       col("conv_id"))
     // entity provenance: sorted chunk_uids of the chunks whose turns mention
     // the entity (ref:_annotate_semantic_graph, pipeline.py:568-611)
-    val turnChunks = ChunkStage.turnToChunk(ChunkStage.turnOffsets(turns), chunksRaw)
+    val turnChunks = ChunkStage.turnToChunk(ChunkStage.turnOffsets(t), chunksRaw)
     val mentionChunks = linkedMentions
       .join(turnChunks, Seq("conv_id", "turn_idx"), "left")
     val entityNodes = mentionChunks

@@ -1,0 +1,79 @@
+package graft.app
+
+import graft.materialize.Materializer
+import graft.model.{ChunkProfile, RunConfig}
+import graft.qa.QaEvaluator.QaThresholds
+import graft.source.TranscriptGen
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entrypoint — the engine's analog of the reference CLI
+  * (ref:scripts/kg_build.py → ref:src/fancyrag/cli/kg_build_main.py:27-168),
+  * with the same shape of flags: source selection, profile/chunking
+  * overrides, QA thresholds, reset, and our resume/partitioning knobs.
+  *
+  * Usage (all flags optional):
+  *   spark-submit --class graft.app.KgBuildMain graft.jar \
+  *     --input <parquet path of transcripts | synth:<numConvs>> \
+  *     --out <output dir> \
+  *     --profile text|markdown|code \
+  *     --chunk-size N --overlap N \
+  *     --partitions N --salt N \
+  *     --run-key KEY \
+  *     --reset            (wipe output first — ref MATCH(n) DETACH DELETE)
+  *     --max-missing-embeddings N --max-orphan-chunks N
+  *     --max-checksum-mismatches N --max-semantic-orphans N
+  */
+object KgBuildMain {
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val out = a.getOrElse("out", "/tmp/graft-kg-out")
+    val spark = SparkSession.builder()
+      .appName("graft-kg-build")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = ChunkProfile.presets(a.getOrElse("profile", "text"))
+    val profile = base.copy(
+      chunkSize = a.get("chunk-size").map(_.toInt).getOrElse(base.chunkSize),
+      overlap = a.get("overlap").map(_.toInt).getOrElse(base.overlap))
+    val cfg = RunConfig(
+      runKey = a.getOrElse("run-key", s"kg-build:${java.util.UUID.nameUUIDFromBytes(a.toString.getBytes)}"),
+      profile = profile,
+      numPartitions = a.get("partitions").map(_.toInt).getOrElse(32),
+      saltBuckets = a.get("salt").map(_.toInt).getOrElse(8))
+    val thresholds = QaThresholds(
+      maxMissingEmbeddings = a.get("max-missing-embeddings").map(_.toLong).getOrElse(0L),
+      maxOrphanChunks = a.get("max-orphan-chunks").map(_.toLong).getOrElse(0L),
+      maxChecksumMismatches = a.get("max-checksum-mismatches").map(_.toLong).getOrElse(0L),
+      maxSemanticOrphans = a.get("max-semantic-orphans").map(_.toLong).getOrElse(0L))
+
+    if (a.contains("reset")) Materializer.reset(spark, out)
+
+    val input = a.getOrElse("input", "synth:200")
+    val turns =
+      if (input.startsWith("synth:")) TranscriptGen.table(spark, input.drop(6).toLong).toDF()
+      else spark.read.parquet(input)
+
+    val qa = KgBuild.run(spark, turns, cfg, out, thresholds)
+    // run-log artifact (sanitized JSON), ref:src/fancyrag/kg/pipeline.py:1489-1546
+    val log =
+      s"""{"run_key":"${cfg.runKey}","status":"${qa.status}",""" +
+        s""""counts":{${qa.counts.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+        s""""anomalies":{${qa.anomalies.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
+    println(log)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/artifacts"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/artifacts/run_log.json"), log)
+    spark.stop()
+    if (qa.status != "pass") sys.exit(2)
+  }
+}

@@ -64,6 +64,14 @@ object Resolver {
     */
   def canonicalEntities(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // The gazetteer is static, so the CC fixpoint result is too: memoize the
+    // (tiny) resolved table per JVM and rebuild a local DataFrame from it.
+    // The CC implementation itself stays fully distributed — it is reused on
+    // real data by Dedup.minhashClusters and the entity-canon stage.
+    cachedCanonical match {
+      case Some(rows) => return rows.toDF("norm", "canon_norm", "canon_name", "label")
+      case None => ()
+    }
     val chainEdges = Gazetteer.aliasChainEdges.toDF("u", "v")
     // singleton entities (no alias) still need a row: self-edges
     val selfEdges = Gazetteer.aliasRows.map(r => (r._1, r._1)).toDF("u", "v")
@@ -78,12 +86,19 @@ object Resolver {
       .groupBy("rep")
       .agg(min("display").as("canon_name"))
       .select(col("rep"), coalesce(col("canon_name"), col("rep")).as("canon_name"))
-    cc.join(repDisplay, "rep")
+    val resolved = cc.join(repDisplay, "rep")
       .join(aliasLabels.select("norm", "label").distinct(), cc("member") === col("norm"), "left")
       .select(
         col("member").as("norm"),
         col("rep").as("canon_norm"),
         col("canon_name"),
         coalesce(col("label"), lit("__Entity__")).as("label"))
+    val rows = resolved.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+    cachedCanonical = Some(rows)
+    rows.toDF("norm", "canon_norm", "canon_name", "label")
   }
+
+  @volatile private var cachedCanonical: Option[Seq[(String, String, String, String)]] = None
 }

@@ -63,7 +63,7 @@ object Ann {
     * is an equi-join on (band_idx, band_key) so it scales.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 16, bands: Int = 4): DataFrame = {
+      nBits: Int = 32, bands: Int = 4): DataFrame = {
     require(nBits % bands == 0)
     val width = nBits / bands
     def withBands(df: DataFrame, idAs: String, embAs: String): DataFrame = {
@@ -93,7 +93,7 @@ object Ann {
     * LSH-bucketed self-join, exact cosine verify at threshold.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      nBits: Int = 16, bands: Int = 4): DataFrame = {
+      nBits: Int = 32, bands: Int = 2): DataFrame = {
     require(nBits % bands == 0)
     val width = nBits / bands
     val sig = hyperplaneSignature(col("embedding"), nBits)

@@ -1,0 +1,67 @@
+package graft
+
+import graft.canon.Resolver
+import graft.chunk.ChunkStage
+import graft.link.EntityLinker
+import graft.model.ChunkProfile
+import graft.source.TranscriptGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the plan properties that matter at 100 TB are
+  * asserted, not assumed — filter pushdown and column pruning reach the
+  * parquet scan, the entity-link join broadcasts, and per-conversation stages
+  * reuse one exchange instead of re-shuffling.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown and column pruning reach the parquet scan") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
+  test("entity-linking join is a broadcast hash join (no shuffle)") {
+    import spark.implicits._
+    val probe = Seq(("m1", "acme corp"), ("m2", "globex")).toDF("mention_id", "norm")
+    val linked = EntityLinker.link(probe, "norm", "mention_id",
+      Resolver.canonicalEntities(spark), 4)
+    val p = plan(linked)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("per-conversation chunking from pre-partitioned turns adds no extra exchange") {
+    val turns = TranscriptGen.table(spark, 5L).toDF()
+      .repartition(col("conv_id"))
+    val chunks = ChunkStage.chunks(turns, ChunkProfile.text)
+    val exchanges = "Exchange".r.findAllIn(plan(chunks)).size
+    // exactly the one explicit repartition; groupBy(conv_id) reuses it
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan(chunks)}")
+  }
+
+  test("window over pre-partitioned turns reuses the partitioning") {
+    val turns = TranscriptGen.table(spark, 5L).toDF()
+      .repartition(col("conv_id"))
+    val offs = ChunkStage.turnOffsets(turns)
+    val exchanges = "Exchange".r.findAllIn(plan(offs)).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan(offs)}")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 10)
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    df.count() // materialize so AQE finalizes the physical plan
+    val p = plan(df)
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+  }
+}
