@@ -68,6 +68,21 @@ object Retrieval {
       .select("chunk_uid", "text", "score", "score_vector", "score_fulltext")
   }
 
+  /** R4: fetch a node by id, with the embedding stripped from what the caller
+    * sees (ref:src/fancyrag/mcp/runtime.py:40-43,63-74,236-272).
+    */
+  def fetchById(nodes: DataFrame, id: String): DataFrame =
+    nodes.filter(col("id") === id).drop("embedding")
+
+  /** J5: enrich matched chunks with their document (left outer — matches
+    * without a known document survive; ref:scripts/ask_qdrant.py:43-57
+    * OPTIONAL MATCH (doc:Document)-[:HAS_CHUNK]->(node)).
+    */
+  def withDocument(matches: DataFrame, chunks: DataFrame): DataFrame =
+    matches.join(
+      chunks.select(col("chunk_uid"), col("conv_id").as("document")),
+      Seq("chunk_uid"), "left_outer")
+
   /** J6: 1-hop semantic expansion of matched chunks — entities mentioned in
     * the chunk plus their outgoing semantic relations, collected DISTINCT per
     * chunk (ref:scripts/ask_qdrant.py:259-292; ref:queries/hybrid_retrieval.cypher:1-29).

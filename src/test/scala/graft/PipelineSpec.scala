@@ -19,6 +19,15 @@ class PipelineSpec extends AnyFunSuite {
   lazy val cfg = RunConfig(runKey = "kg-build:test-small", numPartitions = 8)
   lazy val g = KgBuild.buildGraph(turns, cfg)
 
+  test("golden triple set matches the checked-in fixture (generator drift guard)") {
+    val expected = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_triples_40.tsv")).getLines()
+      .filter(_.nonEmpty)
+      .map { l => val Array(s, p, o) = l.split("\t"); Triple(s, p, o) }
+      .toSet
+    assert(TranscriptGen.goldenTriples(NumConvs) == expected)
+  }
+
   test("generator is deterministic") {
     val a = TranscriptGen.conversation(3L)
     val b = TranscriptGen.conversation(3L)
