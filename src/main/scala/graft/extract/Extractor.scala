@@ -63,10 +63,67 @@ object Extractor {
     Pattern.compile("(?<![A-Za-z0-9])(?:" + alts.mkString("|") + ")(?![A-Za-z0-9])")
   }
 
+  /** first-alnum-run -> candidate surfaces (longest first), for the fast
+    * scanner below.
+    */
+  private lazy val byFirstWord: Map[String, Array[String]] = {
+    def firstWord(s: String): String = s.takeWhile(isWordChar)
+    surfaceToEntry.keys.toSeq
+      .groupBy(firstWord)
+      .map { case (fw, ss) => fw -> ss.sortBy(-_.length).toArray }
+  }
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
   private val joinedInYear = Pattern.compile(" joined in \\d{4}")
 
-  /** Pure per-turn extraction (unit-testable without Spark). */
-  def extractTurn(convId: String, turnIdx: Int, text: String): ExtractedTurn = {
+  /** Fast gazetteer scan: equivalent to the alternation regex (longest match
+    * at each word start, non-overlapping, alnum boundaries) but O(words) with
+    * a hash lookup per word start instead of an NFA over ~400 alternatives —
+    * the extraction pass dominates pipeline cost, so this matters at scale.
+    * Equivalence to the regex is property-tested (ExtractorSpec).
+    */
+  private def scanMentions(convId: String, turnIdx: Int, text: String): Seq[Mention] = {
+    val ms = Seq.newBuilder[Mention]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      if (isWordChar(text.charAt(i)) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
+        // word start: extract the first alnum run
+        var e = i
+        while (e < n && isWordChar(text.charAt(e))) e += 1
+        val fw = text.substring(i, e)
+        var matched = false
+        byFirstWord.get(fw) match {
+          case Some(cands) =>
+            var c = 0
+            while (c < cands.length && !matched) {
+              val s = cands(c)
+              val end = i + s.length
+              if (end <= n && text.startsWith(s, i) &&
+                (end == n || !isWordChar(text.charAt(end)))) {
+                val (norm, label) = surfaceToEntry(s)
+                val id = Determinism.sha256(s"$convId:$turnIdx:$i").take(16)
+                ms += Mention(conv_id = convId, turn_idx = turnIdx, mention_id = id,
+                  surface = s, norm = norm, label = label, begin = i, end = end)
+                i = end
+                matched = true
+              }
+              c += 1
+            }
+          case None => ()
+        }
+        if (!matched) i = e // no match can start inside this alnum run
+      } else i += 1
+    }
+    ms.result()
+  }
+
+  /** Regex-based reference matcher — kept as the equivalence oracle for
+    * scanMentions (used by tests only).
+    */
+  private[graft] def regexMentions(convId: String, turnIdx: Int, text: String): Seq[Mention] = {
     val m = mentionPattern.matcher(text)
     val ms = Seq.newBuilder[Mention]
     while (m.find()) {
@@ -76,7 +133,12 @@ object Extractor {
       ms += Mention(conv_id = convId, turn_idx = turnIdx, mention_id = id,
         surface = surf, norm = norm, label = label, begin = m.start(), end = m.end())
     }
-    val mentions = ms.result()
+    ms.result()
+  }
+
+  /** Pure per-turn extraction (unit-testable without Spark). */
+  def extractTurn(convId: String, turnIdx: Int, text: String): ExtractedTurn = {
+    val mentions = scanMentions(convId, turnIdx, text)
     val rels = Seq.newBuilder[RelCand]
     // same-turn rules: consecutive mention pairs with a verb connector between
     mentions.sliding(2).foreach {

@@ -13,10 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two array<float|double> columns, computed in
-    * double (codegen'd builtins only: zip_with + aggregate, no UDF).
+  /** Cosine similarity of two array<float|double> columns — the native
+    * Catalyst expression (primitive loop, whole-stage codegen); results are
+    * bit-identical to [[cosineBuiltins]] and the DuckDB oracle (same
+    * left-to-right double accumulation).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
+
+  /** Builtin-composition form (zip_with + aggregate + sqrt) — kept as the
+    * equivalence oracle for the native expression.
+    */
+  def cosineBuiltins(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

@@ -61,4 +61,23 @@ class ExtractorSpec extends AnyFunSuite {
   test("normalization collapses case and whitespace") {
     assert(Gazetteer.normalize("  Acme    Corp ") == "acme corp")
   }
+
+  test("fast scanner is equivalent to the alternation regex on the corpus") {
+    // every turn of 25 seeded conversations + adversarial edge cases
+    val corpus =
+      (0L until 25L).flatMap(c => graft.source.TranscriptGen.conversation(c).map(_.turn))
+        .map(t => (t.conv_id, t.turn_idx, t.text)) ++ Seq(
+        ("x", 0, "Acme"), ("x", 1, "Acme Corp"), ("x", 2, "Acme Corporation!"),
+        ("x", 3, "AcmeCorp"), ("x", 4, "xAcme Corp"), ("x", 5, "Acme Corpx"),
+        ("x", 6, "etl-daemon ran"), ("x", 7, "the etl-daemonX ran"),
+        ("x", 8, "Acme Corp Acme"), ("x", 9, ""), ("x", 10, "Globex Inc."),
+        ("x", 11, "Globex Inc Globex International Globex"),
+        ("x", 12, "ACME ACMEish ACME."), ("x", 13, "Vault-Tec or Vault Tec"),
+        ("x", 14, "Monsters Inc and Monsters Incorporated"))
+    corpus.foreach { case (c, t, text) =>
+      val fast = Extractor.extractTurn(c, t, text).mentions
+      val slow = Extractor.regexMentions(c, t, text)
+      assert(fast == slow, s"mismatch on '$text': fast=$fast slow=$slow")
+    }
+  }
 }
