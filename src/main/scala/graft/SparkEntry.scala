@@ -166,6 +166,32 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,3)")).cast("double").as("v"))
         .orderBy("window_start", "event_type")),
 
+    // ---- set ops / multi-dim aggregates (SURVEY.md §2.4/2.6 extras) ----
+    "q_set_ops" -> ((s, d) => {
+      // custkeys with an open order but no finished order: INTERSECT/EXCEPT
+      val open = orders(s, d).filter(col("o_orderstatus") === "O").select("o_custkey")
+      val finished = orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey")
+      open.intersect(open).except(finished)
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    }),
+    "q_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"))
+        .orderBy("returnflag", "linestatus")),
+    "q_approx_distinct" -> ((s, d) =>
+      // sketch aggregate (HLL): rows-only — approx values are engine-specific
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
     // ---- entity-linking join shape with oracle (J7 demo over sf tables) ----
     "q_gazetteer_join" -> ((s, d) => {
       import s.implicits._
@@ -342,6 +368,19 @@ object SparkEntry {
         """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start, event_type,
           |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS v
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_set_ops" ->
+        """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+          |INTERSECT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          |EXCEPT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY custkey""".stripMargin,
+      "q_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |       coalesce(l_linestatus, 'ALL') AS linestatus,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY returnflag, linestatus""".stripMargin,
       "q_gazetteer_join" -> {
         val vals = gazetteerTerms.map(t => s"('$t')").mkString(", ")
         s"""WITH $turnsCte, dict(term) AS (VALUES $vals)
