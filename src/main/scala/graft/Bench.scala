@@ -53,6 +53,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val numConvs = convsForSf(sfDir)
+    kgBuildOnce(spark, math.max(numConvs / 4, 10L)) // JIT warm-up (see BASELINE.md)
     val (nTurns, nTriples, kgSec) = kgBuildOnce(spark, numConvs)
     val triplesPerSec = nTriples / kgSec
 
