@@ -56,6 +56,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan(offs)}")
   }
 
+  test("full KG build plan contains no cartesian product or nested-loop join") {
+    val turns = TranscriptGen.table(spark, 5L).toDF()
+    val g = graft.app.KgBuild.buildGraph(turns, graft.model.RunConfig(runKey = "kg:plan"))
+    Seq(g.nodes, g.edges, g.triples).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_quantity") > 10)
