@@ -1,8 +1,7 @@
 package graft.app
 
 import graft.canon.Resolver
-import graft.chunk.ChunkStage
-import graft.extract.Extractor
+import graft.chunk.ConvStage
 import graft.functions.Embeddings
 import graft.link.EntityLinker
 import graft.materialize.Materializer
@@ -36,27 +35,36 @@ object KgBuild {
 
   /** Pure-transform graph construction (no writes).
     *
-    * Shuffle layout: ONE explicit repartition on conv_id up front (persisted);
-    * every per-conversation groupBy/window downstream then reuses that
-    * partitioning instead of re-exchanging 5 times — the explicit
-    * repartition-by-conv_id called for by the north_star's skew note.
-    * Intermediates are persisted (dropped by callers via
+    * Shuffle layout: ONE exchange on conv_id (the fused ConvStage groupByKey)
+    * carries all per-conversation work — assembly, chunking, turn→chunk map,
+    * checksums, extraction, anaphora; before the fusion the same work took 5
+    * separate exchanges of the full turn set. Linking is broadcast (no
+    * shuffle); only the entity-provenance groupBy and the final dedup add
+    * exchanges, both over much smaller derived tables. This is the explicit
+    * partition-by-conv_id the north_star's skew note calls for — a
+    * conversation is the bounded unit of work, so partitions stay balanced at
+    * any scale. Intermediates are persisted (dropped by callers via
     * spark.catalog.clearCache() when the tables have been consumed).
     */
   def buildGraph(turns: DataFrame, cfg: RunConfig): GraphTables = {
     val spark = turns.sparkSession
-    val t = turns.repartition(col("conv_id")).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- chunk ----
-    val chunksRaw = ChunkStage.chunks(t, cfg.profile)
-    val chunks = Embeddings.withEmbedding(chunksRaw, "text", EmbeddingDim)
-    val turnChecksums = t.select(
-      col("conv_id"), col("turn_idx"), sha2(col("text"), 256).as("checksum"))
+    // ---- fused per-conversation pass: ONE shuffle computes assembly,
+    //      chunking, turn->chunk map, checksums, extraction, anaphora ----
+    val arts = ConvStage.artifacts(turns, cfg.profile).toDF()
 
-    // ---- extract ----
-    val extracted = Extractor.extract(t).persist(StorageLevel.MEMORY_AND_DISK)
-    val mentions = Extractor.mentions(extracted).toDF()
-    val relCands = Extractor.relations(extracted)
+    val chunksRaw = arts.select(col("conv_id"), explode(col("chunks")).as("c"))
+      .select(col("conv_id"), col("c.chunk_uid"), col("c.seq"), col("c.index"),
+        col("c.text"), col("c.checksum"), col("c.start"), col("c.end"),
+        col("c.turn_idxs"))
+    val chunks = Embeddings.withEmbedding(chunksRaw.drop("turn_idxs"), "text", EmbeddingDim)
+    val turnChecksums = arts
+      .select(col("conv_id"), explode(col("turn_checksums")).as("tc"))
+      .select(col("conv_id"), col("tc.turn_idx"), col("tc.checksum"))
+    val mentions = arts.select(explode(col("mentions")).as("m")).select("m.*")
+    val relCands = arts.select(col("conv_id"), explode(col("rels")).as("r"))
+      .select(col("conv_id"), col("r.turn_idx"), col("r.subj_norm"),
+        col("r.pred"), col("r.obj_norm"))
 
     // ---- canonicalize (build canonical entity Dataset via CC fixpoint) ----
     val canonical = Resolver.canonicalEntities(spark)
@@ -84,7 +92,7 @@ object KgBuild {
     def entId(label: org.apache.spark.sql.Column, norm: org.apache.spark.sql.Column) =
       concat(lit("ent:"), label, lit(":"), norm)
 
-    val docNodes = ChunkStage.documents(t).select(
+    val docNodes = arts.select(
       concat(lit("doc:"), col("conv_id")).as("id"),
       array(lit("Document")).as("labels"),
       col("conv_id").as("name"),
@@ -100,8 +108,10 @@ object KgBuild {
         lit("checksum"), col("checksum")).as("props"),
       col("conv_id"))
     // entity provenance: sorted chunk_uids of the chunks whose turns mention
-    // the entity (ref:_annotate_semantic_graph, pipeline.py:568-611)
-    val turnChunks = ChunkStage.turnToChunk(ChunkStage.turnOffsets(t), chunksRaw)
+    // the entity (ref:_annotate_semantic_graph, pipeline.py:568-611);
+    // assignment came free from the fused pass
+    val turnChunks = chunksRaw.select(col("conv_id"), col("chunk_uid"),
+      explode(col("turn_idxs")).as("turn_idx"))
     val mentionChunks = linkedMentions
       .join(turnChunks, Seq("conv_id", "turn_idx"), "left")
     val entityNodes = mentionChunks
