@@ -72,7 +72,11 @@ object KgBuildMain {
     println(log)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/artifacts"))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$out/artifacts/run_log.json"), log)
+      java.nio.file.Paths.get(s"$out/artifacts/run_log.json"),
+      graft.qa.Sanitizer.scrubText(log))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/artifacts/qa_report.md"),
+      graft.qa.QaEvaluator.reportMarkdown(qa))
     spark.stop()
     if (qa.status != "pass") sys.exit(2)
   }

@@ -20,6 +20,14 @@ object Materializer {
   def partId(convIdCol: String, numPartitions: Int) =
     pmod(hash(col(convIdCol)), lit(numPartitions))
 
+  /** Label cleanup (reference: strip labels, drop empties, default
+    * ["__Entity__"]; ref:src/fancyrag/kg/pipeline.py:869-878).
+    */
+  def cleanLabels(labels: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val trimmed = filter(transform(labels, l => trim(l)), l => length(l) > 0)
+    when(size(trimmed) === 0, array(lit("__Entity__"))).otherwise(trimmed)
+  }
+
   /** Stamp run key + part_id on any conv-keyed DataFrame
     * (reference: every written node/rel gets ingest_run_key,
     * ref:src/fancyrag/kg/pipeline.py:881-905).

@@ -30,6 +30,31 @@ object QaEvaluator {
   /** Fixed token-histogram bins (ref:src/fancyrag/qa/evaluator.py:94). */
   val bins: Seq[Int] = Seq(64, 128, 256, 512, 1024, 2048)
 
+  /** Markdown QA report — the artifact of ref:src/fancyrag/qa/report.py:17-62,
+    * scrubbed through the sanitizer before writing.
+    */
+  def reportMarkdown(r: QaResult): String = {
+    def table(rows: Seq[(String, String)]): String =
+      "| metric | value |\n|---|---|\n" +
+        rows.map { case (k, v) => s"| ${Sanitizer.scrubText(k)} | $v |" }.mkString("\n")
+    s"""# Ingestion QA report
+       |
+       |Status: **${r.status}**
+       |
+       |## Counts
+       |${table(r.counts.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })}
+       |
+       |## Anomalies
+       |${table(r.anomalies.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })}
+       |
+       |## Token stats
+       |${table(r.tokenStats.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })}
+       |
+       |## Token histogram
+       |${table(r.tokenHistogram.map { case (k, v) => k -> v.toString })}
+       |""".stripMargin
+  }
+
   /** Token estimate = max(1, ceil(len/4)) (ref:src/fancyrag/qa/evaluator.py:352-358). */
   def tokenEstimate = greatest(lit(1), ceil(length(col("text")) / 4)).cast("long")
 
