@@ -39,7 +39,12 @@ object AskMain {
     val question = a.getOrElse("question", "Who founded Acme Corp?")
     val topK = a.get("top-k").map(_.toInt).getOrElse(5)
     val includeSemantic = a.get("include-semantic").forall(_.toBoolean)
+    // spark-submit injects spark.master via system property; default to
+    // local mode for sandbox runs
     val spark = SparkSession.builder()
+      .config("spark.master",
+        sys.props.getOrElse("spark.master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .appName("graft-ask")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -33,7 +33,12 @@ object KgBuildMain {
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
     val out = a.getOrElse("out", "/tmp/graft-kg-out")
+    // spark-submit injects spark.master via system property; default to
+    // local mode for sandbox runs
     val spark = SparkSession.builder()
+      .config("spark.master",
+        sys.props.getOrElse("spark.master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .appName("graft-kg-build")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
