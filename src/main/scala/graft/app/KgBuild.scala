@@ -198,6 +198,13 @@ object KgBuild {
       Materializer.stamp(g.turnChecksums, cfg)
         .write.mode(SaveMode.Append).partitionBy("part_id")
         .parquet(s"$outDir/turn_checksums")
+      // per-partition metrics rows (north rule: per-partition lineage AND
+      // metrics): edge counts by type per part_id for this run
+      edges
+        .groupBy(col("part_id"), col("rel_type"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("run_key", lit(cfg.runKey))
+        .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
       // nodes last: its manifest row is the completion marker for the partition
       Materializer.writeWithManifest(nodes, outDir, "nodes", cfg, checks)
       nodes.unpersist(); edges.unpersist()

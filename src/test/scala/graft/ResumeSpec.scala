@@ -73,6 +73,41 @@ class ResumeSpec extends AnyFunSuite {
     assert(!done.collect().map(_.getInt(0)).contains(changedPartId))
   }
 
+  test("per-partition metrics rows are written alongside the manifest") {
+    val turns = TranscriptGen.table(spark, 8L).toDF().cache()
+    val dir = Files.createTempDirectory("graft-metrics").toString
+    KgBuild.run(spark, turns, cfg, dir)
+    val metrics = spark.read.parquet(s"$dir/_metrics")
+    assert(metrics.columns.toSet == Set("part_id", "rel_type", "rows", "run_key"))
+    // metrics row totals agree with the materialized edge table
+    val fromMetrics = metrics.groupBy("rel_type")
+      .agg(sum("rows").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromEdges = spark.read.parquet(s"$dir/edges")
+      .groupBy("rel_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromMetrics == fromEdges)
+  }
+
+  test("extreme long-conversation skew: a 10k-turn conversation completes and stays correct") {
+    import spark.implicits._
+    // one monster conversation + a few normal ones — the fused group pass
+    // must handle the hot group in one task without spilling over limits
+    val monster = graft.source.TranscriptGen.conversation(0L).map(_.turn) // ~hot conv
+    val big = (0 until 10000).map { i =>
+      val t = monster(i % monster.size)
+      t.copy(conv_id = "conv-monster", turn_idx = i)
+    }
+    val normal = (1L to 4L).flatMap(c => graft.source.TranscriptGen.conversation(c).map(_.turn))
+    val turns = (big ++ normal).toDF()
+    val g = KgBuild.buildGraph(turns, cfg)
+    val mism = graft.qa.QaEvaluator.checksumMismatches(turns, g.turnChecksums).count()
+    assert(mism == 0)
+    assert(g.chunks.filter(col("conv_id") === "conv-monster").count() > 100)
+    assert(g.triples.count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("rollback removes exactly the bad run's rows") {
     import spark.implicits._
     val turns = TranscriptGen.table(spark, 6L).toDF().cache()
