@@ -211,14 +211,22 @@ object KgBuild {
     }
     pending.unpersist()
 
-    // QA over the full materialized graph. Nodes dedupe by id at read: an
-    // entity mentioned in several conv partitions appears once per completed
-    // run — dropDuplicates(id) is the read-side MERGE (idempotent upsert
-    // semantics of the reference writer, SURVEY.md S6).
-    val allNodes = spark.read.parquet(s"$outDir/nodes").dropDuplicates("id")
-    val allEdges = spark.read.parquet(s"$outDir/edges")
-    val allChunks = spark.read.parquet(s"$outDir/chunks")
+    // QA over the full materialized graph, read through the MERGE view:
+    //  - nodes merge per id (union of chunk_uids provenance across runs —
+    //    the reference writer's MERGE keep-existing semantics, SURVEY.md S6;
+    //    dropDuplicates would keep an arbitrary row and lose provenance);
+    //  - edges merge per (src, dst, rel_type) — the reference MERGEs a
+    //    relationship on exactly that key (ref:src/fancyrag/db/neo4j_queries.py:108),
+    //    which also makes a crash-window recompute (edges appended twice
+    //    before the nodes manifest row landed) invisible at read;
+    //  - chunks / turn_checksums dedupe on their natural keys for the same
+    //    crash-window reason.
+    val allNodes = Materializer.mergeRows(spark.read.parquet(s"$outDir/nodes"), Seq("id"))
+    val allEdges = Materializer.mergeRows(
+      spark.read.parquet(s"$outDir/edges"), Seq("src", "dst", "rel_type"))
+    val allChunks = spark.read.parquet(s"$outDir/chunks").dropDuplicates("chunk_uid")
     val allChecksums = spark.read.parquet(s"$outDir/turn_checksums")
+      .dropDuplicates("conv_id", "turn_idx")
     val qa = QaEvaluator.evaluate(turns, allChecksums, allChunks, allNodes, allEdges, thresholds)
     if (qa.status == "fail") {
       import spark.implicits._
@@ -226,14 +234,24 @@ object KgBuild {
       Seq("nodes", "edges", "chunks", "turn_checksums").foreach { stage =>
         rollbackStage(spark, outDir, stage, bad)
       }
+      // The failed run's _manifest and _metrics rows must go too: a
+      // completion marker matching (part_id, input_checksum) would otherwise
+      // make the retry skip every rolled-back partition and QA would then
+      // "pass" over an empty graph — silent data loss with a false pass.
+      Seq("_manifest", "_metrics").foreach { stage =>
+        rollbackStage(spark, outDir, stage, bad.withColumnRenamed("ingest_run_key", "run_key"),
+          keyCol = "run_key")
+      }
     }
     qa
   }
 
   /** Read-filter-rewrite rollback of one stage directory. */
-  def rollbackStage(spark: SparkSession, outDir: String, stage: String, bad: DataFrame): Unit = {
+  def rollbackStage(spark: SparkSession, outDir: String, stage: String, bad: DataFrame,
+      keyCol: String = "ingest_run_key"): Unit = {
     val path = s"$outDir/$stage"
-    val kept = Materializer.rollback(spark.read.parquet(path), bad)
+    val kept = spark.read.parquet(path)
+      .join(bad.toDF(keyCol), Seq(keyCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     kept.count() // force before overwriting the source
     kept.write.mode(SaveMode.Overwrite).parquet(s"$path.tmp")

@@ -22,10 +22,19 @@ import org.apache.spark.storage.StorageLevel
 object Resolver {
 
   /** Connected components over undirected string edges.
+    *
+    * Each round combines min-label propagation (take the min of the
+    * neighbors' labels) with POINTER JUMPING (then take the label of your
+    * label), so chains collapse in O(log diameter) rounds rather than
+    * O(diameter) — Dedup.minhashClusters feeds this arbitrary near-dup graphs
+    * whose component diameter is unbounded, where plain propagation could
+    * exhaust maxIter. Exhausting maxIter with changes still pending throws
+    * rather than silently returning wrong cluster reps.
+    *
     * @return DataFrame(member, rep) covering every node that appears in any
     *         edge; rep = lexicographic min of the component.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.toDF("u", "v")
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -39,19 +48,32 @@ object Resolver {
     while (!converged && iter < maxIter) {
       val neighborMin = sym
         .join(labels, sym("u") === labels("member"))
-        .groupBy(col("v").as("member2"))
+        .groupBy(col("v").as("member"))
         .agg(min("rep").as("nmin"))
-      val next = labels
-        .join(neighborMin, labels("member") === neighborMin("member2"), "left")
-        .select(col("member"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
-          (col("nmin").isNotNull && col("nmin") < col("rep")).as("changed"))
+      val stepped = labels
+        .join(neighborMin, Seq("member"), "left")
+        .select(col("member"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+      // pointer jumping: rep := label(rep); reps are themselves members by
+      // construction, so the lookup join always resolves
+      val lookup = stepped.select(col("member").as("r_member"), col("rep").as("r_rep"))
+      val next = stepped
+        .join(lookup, stepped("rep") === lookup("r_member"), "left")
+        .select(stepped("member"),
+          least(stepped("rep"), coalesce(col("r_rep"), stepped("rep"))).as("rep"))
         .localCheckpoint()
-      val changed = next.filter(col("changed")).limit(1).count()
-      labels = next.drop("changed")
+      val changed = next
+        .join(labels.withColumnRenamed("rep", "prev"), Seq("member"))
+        .filter(col("rep") =!= col("prev"))
+        .limit(1).count()
+      labels = next
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds (graph diameter" +
+          s" > 2^$maxIter is impossible — this indicates a bug, not a big graph)")
     labels
   }
 

@@ -64,13 +64,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      // loop-body locals also need freshName: a bare `x`/`y` colliding with an
+      // enclosing generated scope fails janino compilation and silently drops
+      // the whole stage to the interpreted path
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.$lGet($i);
-         |  double y = (double) $b.$rGet($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |  double $x = (double) $a.$lGet($i);
+         |  double $y = (double) $b.$rGet($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin

@@ -60,6 +60,32 @@ object Materializer {
     tagged.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** n-way read-side MERGE: collapse rows sharing `keyCols` into one row —
+    * the read-path form of [[mergeUpsert]] for tables accumulated across
+    * several runs (an entity node id appears once per completed run). Scalar
+    * columns and scalar props merge deterministically (least value); the
+    * `chunk_uids` provenance prop merges as the sorted UNION of the JSON
+    * arrays, reproducing the reference MERGE's keep-all-provenance behavior
+    * (ref:src/fancyrag/kg/pipeline.py:595-611) instead of dropping arbitrary
+    * rows. One hash aggregation — scales like any groupBy.
+    */
+  def mergeRows(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val arrType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)
+    val others = df.columns.filterNot(c => keyCols.contains(c) || c == "props")
+    val mergedProps = aggregate(
+      collect_list(col("props")),
+      typedLit(Map.empty[String, String]),
+      (acc, m) => map_zip_with(acc, m, (k, v1, v2) =>
+        when(k === "chunk_uids" && v1.isNotNull && v2.isNotNull,
+          to_json(array_sort(array_union(
+            from_json(v1, arrType), from_json(v2, arrType)))))
+          .otherwise(least(v1, v2))))
+    val aggs = others.map(c => min(col(c)).as(c)) ++
+      (if (df.columns.contains("props")) Seq(mergedProps.as("props")) else Nil)
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Write a stage output partitioned by part_id, appending a manifest row per
     * partition: (run_key, stage, part_id, input_checksum, rows). A partition
     * is COMPLETE iff its manifest row exists with a matching input checksum —
