@@ -50,76 +50,72 @@ object Ann {
 
   /** Random-hyperplane signature: bit i = sign(dot(v, h_i)) with h_i a
     * deterministic pseudo-random hyperplane derived from (i, component index).
-    * Computed with builtins so it stays inside codegen.
+    * Native one-pass Catalyst expression (graft.functions.HyperplaneSignature).
     */
-  def hyperplaneSignature(emb: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { i =>
-      // h_i[j] in {-1, +1} from a hash of (i, j)
-      val dot = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (v, j) => v.cast("double") *
-            when(pmod(xxhash64(lit(i), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+  def hyperplaneSignature(emb: Column, nBits: Int): Column =
+    graft.functions.HyperplaneSignature.signature(emb, nBits)
+
+  /** (id, band_idx, band_key) rows — signature computed ONCE per row, then
+    * exploded into bands. Only ids and band keys travel into the candidate
+    * join; embeddings are re-attached per surviving candidate afterwards
+    * (shipping vectors through the exploded shuffle multiplies their bytes
+    * ×bands for no benefit — the join only needs the keys).
+    */
+  private def bandKeys(df: DataFrame, idCol: String, idAs: String,
+      nBits: Int, bands: Int): DataFrame = {
+    val width = nBits / bands
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("bidx"),
+        shiftright(col("__sig"), bi * width).bitwiseAND(lit((1L << width) - 1)).as("bkey"))
     }
-    bits.reduce(_ + _)
+    df.select(col(idCol).as(idAs),
+      hyperplaneSignature(col("embedding"), nBits).as("__sig"))
+      .select(col(idAs), explode(array(bandCols: _*)).as("band"))
+      .select(col(idAs),
+        col("band.bidx").as("band_idx"), col("band.bkey").as("band_key"))
   }
 
   /** LSH-bucketed ANN: corpus and queries are hashed to nBits-bit signatures;
     * candidates share a signature band; rerank candidates exactly and take
-    * top-k. Recall is tuned by bands (more bands = more candidates); the join
-    * is an equi-join on (band_idx, band_key) so it scales.
+    * top-k. Recall is tuned by bands (more bands = more candidates); the
+    * candidate join is an ids-only equi-join on (band_idx, band_key) with the
+    * (small) query side broadcast, so it scales.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 32, bands: Int = 4): DataFrame = {
     require(nBits % bands == 0)
-    val width = nBits / bands
-    def withBands(df: DataFrame, idAs: String, embAs: String): DataFrame = {
-      val sig = hyperplaneSignature(col("embedding"), nBits)
-      val bandCols = (0 until bands).map { bi =>
-        struct(lit(bi).as("bidx"),
-          shiftright(sig, bi * width).bitwiseAND(lit((1L << width) - 1)).as("bkey"))
-      }
-      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-        explode(array(bandCols: _*)).as("band"))
-        .select(col(idAs), col(embAs),
-          col("band.bidx").as("band_idx"), col("band.bkey").as("band_key"))
-    }
-    val c = withBands(corpus, "vec_id", "embedding")
-    val q = withBands(queries, "query_id", "q_emb")
-    val cands = c.join(q, Seq("band_idx", "band_key"))
-      .dropDuplicates("query_id", "vec_id")
+    val cBands = bandKeys(corpus, "vec_id", "vec_id", nBits, bands)
+    val qBands = bandKeys(queries, "vec_id", "query_id", nBits, bands)
+    val cands = cBands.join(broadcast(qBands), Seq("band_idx", "band_key"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
       .withColumn("score", cosine(col("embedding"), col("q_emb")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
-    cands.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")
   }
 
   /** Embedding-cosine near-duplicate pairs (training-data dedup by embedding):
-    * LSH-bucketed self-join, exact cosine verify at threshold.
+    * ids-only LSH-bucketed self-join, embeddings re-attached per candidate
+    * pair, exact cosine verify at threshold.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       nBits: Int = 32, bands: Int = 2): DataFrame = {
     require(nBits % bands == 0)
-    val width = nBits / bands
-    val sig = hyperplaneSignature(col("embedding"), nBits)
-    val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("bidx"),
-        shiftright(sig, bi * width).bitwiseAND(lit((1L << width) - 1)).as("bkey"))
-    }
-    val banded = corpus
-      .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("band"))
-      .select(col("vec_id"), col("embedding"),
-        col("band.bidx").as("band_idx"), col("band.bkey").as("band_key"))
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    val banded = bandKeys(corpus, "vec_id", "vec_id", nBits, bands)
+    val a = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("id_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

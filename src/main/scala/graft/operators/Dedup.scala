@@ -3,6 +3,7 @@ package graft.operators
 import graft.canon.Resolver
 import graft.util.Determinism
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines.
@@ -64,6 +65,10 @@ object Dedup {
   /** Candidate pairs via banded LSH + signature-estimated Jaccard verify.
     * bands * rowsPerBand must equal numHashes. Returns (id_a, id_b, est_jaccard)
     * with id_a < id_b, est >= threshold.
+    *
+    * Only (id, band_hash) travels through the exploded self-join — carrying
+    * both full 64-long signatures through the shuffle multiplied its bytes
+    * ×bands×2; signatures are re-attached once per surviving candidate pair.
     */
   def minhashPairs(sigs: DataFrame, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -73,17 +78,17 @@ object Dedup {
         xxhash64(slice(col("sig"), bi * rows + 1, rows), lit(bi)).as("band_hash"))
     }
     val banded = sigs
-      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("band"))
-      .select(col("id"), col("sig"),
+      .select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("id"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -175,28 +180,45 @@ object Dedup {
 
   // ---------------- n-gram Jaccard (exact, for verify/eval) ----------------
 
-  /** Exact word n-gram Jaccard over candidate pairs that share at least one
-    * n-gram. Inverted-index join: explode n-grams, pair within posting lists,
-    * count shared / union. Exact but quadratic in posting-list length — use
-    * after LSH at scale; standalone only at eval scale.
+  /** Exact word n-gram Jaccard pairs at `threshold`, with PREFIX-FILTERED
+    * candidate generation (AllPairs/PPJoin principle, Bayardo et al. WWW'07):
+    * under a consistent global gram order (document frequency asc, gram asc —
+    * rarest first), any pair with Jaccard >= t must share a gram inside both
+    * docs' prefixes of length |g| - ceil(t*|g|) + 1, so only those prefix
+    * grams enter the inverted-index self-join. This bounds the join by the
+    * prefix posting lists instead of the full ones — the round-1 unbounded
+    * version was quadratic in hot-gram df (64.9 s at sf0.1, the slowest bench
+    * query; a common 3-gram alone yields O(df²) pairs). The result is still
+    * EXACT: no pair at threshold can be lost (prefix-filter guarantee), and
+    * surviving candidates verify true Jaccard over their FULL gram sets.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
     val grams = df.select(col(idCol).cast("long").as("id"),
       array_distinct(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => array_join(slice(toks, i + 1, lit(n)), " "))).as("grams"))
-      .withColumn("n_grams", size(col("grams")))
-    val posting = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("gram"))
-    val a = posting.select(col("gram"), col("id").as("id_a"), col("n_grams").as("na"))
-    val b = posting.select(col("gram"), col("id").as("id_b"), col("n_grams").as("nb"))
-    a.join(b, Seq("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = grams.select(col("id"), size(col("grams")).as("n_grams"),
+      explode(col("grams")).as("gram"))
+    val prefix = posting
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("gram"))))
+      .filter(col("pos") <= col("n_grams") - ceil(lit(threshold) * col("n_grams")) + 1)
+    val a = prefix.select(col("gram"), col("id").as("id_a"))
+    val b = prefix.select(col("gram"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("gram"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"), first("na").as("na"), first("nb").as("nb"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        col("shared").cast("double") /
+          (size(col("grams_a")) + size(col("grams_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
