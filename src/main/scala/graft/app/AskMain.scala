@@ -22,9 +22,11 @@ object AskMain {
   /** Testable core: hybrid search + enrichment over materialized tables. */
   def ask(spark: SparkSession, graphDir: String, question: String,
       topK: Int = 5, includeSemantic: Boolean = true): DataFrame = {
-    val chunks = spark.read.parquet(s"$graphDir/chunks")
-    val nodes = spark.read.parquet(s"$graphDir/nodes").dropDuplicates("id")
-    val edges = spark.read.parquet(s"$graphDir/edges")
+    val chunks = spark.read.parquet(s"$graphDir/chunks").dropDuplicates("chunk_uid")
+    val nodes = graft.materialize.Materializer.mergeRows(
+      spark.read.parquet(s"$graphDir/nodes"), Seq("id"))
+    val edges = graft.materialize.Materializer.mergeRows(
+      spark.read.parquet(s"$graphDir/edges"), Seq("src", "dst", "rel_type"))
     val matches = Retrieval.hybrid(chunks, question, topK, dim = KgBuild.EmbeddingDim)
     val withDoc = Retrieval.withDocument(matches, chunks)
     if (!includeSemantic) withDoc

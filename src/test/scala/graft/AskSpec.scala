@@ -35,4 +35,54 @@ class AskSpec extends AnyFunSuite {
     assert(withSem > 0, "expected semantic 1-hop context on some match")
     spark.catalog.clearCache()
   }
+
+  test("semantic expansion is undirected: inbound relations surface too") {
+    import spark.implicits._
+    // e1 is mentioned in chunk c1; the only semantic relation POINTS AT e1.
+    // The reference traverses (entity)-[rel {semantic_source}]-(target)
+    // undirected (ref:scripts/ask_qdrant.py:262), so c1's expansion must
+    // carry the inbound (e2)-[FOUNDED]->(e1).
+    val nodes = Seq(
+      ("e1", Seq("Company", "__Entity__"), "Acme Corp",
+        Map("semantic_source" -> "s", "chunk_uids" -> """["c1"]""")),
+      ("e2", Seq("Person", "__Entity__"), "Alice",
+        Map("semantic_source" -> "s", "chunk_uids" -> """["c2"]"""))
+    ).toDF("id", "labels", "name", "props")
+    val edges = Seq(
+      ("e2", "e1", "FOUNDED", Map("semantic_source" -> "s"))
+    ).toDF("src", "dst", "rel_type", "props")
+    val matches = Seq("c1").toDF("chunk_uid")
+    val row = graft.operators.Retrieval.semanticExpansion(matches, nodes, edges)
+      .collect().head
+    val rels = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("semantic_relationships"))
+    assert(rels.exists(r =>
+      r.getString(0) == "e2" && r.getString(1) == "FOUNDED" && r.getString(2) == "e1"),
+      s"inbound relation missing from expansion: ${rels.mkString(",")}")
+  }
+
+  test("batched hybrid matches the single-query path per query") {
+    import spark.implicits._
+    val texts = Seq(
+      "alice founded acme corp in 2012",
+      "globex launched the hoverboard product line",
+      "the weather was entirely unremarkable today",
+      "bob joined acme corp as an engineer",
+      "quarterly results for globex were strong")
+    val chunks = texts.zipWithIndex
+      .map { case (t, i) => (s"c$i", t, graft.functions.Embeddings.embed(t, 32)) }
+      .toDF("chunk_uid", "text", "embedding")
+    val qs = Seq("who founded acme corp", "what did globex launch")
+    val queries = qs.zipWithIndex
+      .map { case (q, i) => (i.toLong, graft.functions.Embeddings.embed(q, 32), q) }
+      .toDF("query_id", "q_emb", "q_text")
+    val batch = graft.operators.Retrieval.hybridBatch(chunks, queries, k = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = graft.operators.Retrieval.hybrid(chunks, q, 3, dim = 32)
+        .collect().map(_.getString(0)).toSeq
+      assert(batch(i.toLong) == single,
+        s"query $i: batch=${batch(i.toLong)} single=$single")
+    }
+  }
 }
