@@ -61,14 +61,30 @@ object KgBuild {
     val turnChecksums = arts
       .select(col("conv_id"), explode(col("turn_checksums")).as("tc"))
       .select(col("conv_id"), col("tc.turn_idx"), col("tc.checksum"))
-    val mentions = arts.select(explode(col("mentions")).as("m")).select("m.*")
+    val gazMentions = arts.select(explode(col("mentions")).as("m")).select("m.*")
     val relCands = arts.select(col("conv_id"), explode(col("rels")).as("r"))
       .select(col("conv_id"), col("r.turn_idx"), col("r.subj_norm"),
         col("r.pred"), col("r.obj_norm"))
 
-    // ---- canonicalize (build canonical entity Dataset via CC fixpoint) ----
+    // ---- canonicalize: gazetteer CC fixpoint UNION data-derived candidates --
+    // Out-of-dictionary candidate mentions that recur >= minCandidateSupport
+    // become canonical entities in their own right (SURVEY X5: unmatched
+    // mentions are candidate entities, not dropped). Candidate norms have no
+    // alias-linkage evidence by construction (nothing connects two distinct
+    // OOD norms), so their CC closure is the identity and is skipped; the
+    // distributed fixpoint still resolves the gazetteer alias chains and the
+    // minhash dedup graphs.
+    val candMentions = arts.select(explode(col("candidates")).as("m")).select("m.*")
+    val candCanon = candMentions
+      .groupBy(col("norm"))
+      .agg(count(lit(1)).as("__n"), min(col("surface")).as("canon_name"))
+      .filter(col("__n") >= cfg.minCandidateSupport)
+      .select(col("norm"), col("norm").as("canon_norm"), col("canon_name"),
+        lit("__Entity__").as("label"))
     val canonical = Resolver.canonicalEntities(spark)
+      .unionByName(candCanon)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val mentions = gazMentions.unionByName(candMentions)
 
     // ---- link ----
     val linkedMentions = EntityLinker
@@ -114,6 +130,11 @@ object KgBuild {
       explode(col("turn_idxs")).as("turn_idx"))
     val mentionChunks = linkedMentions
       .join(turnChunks, Seq("conv_id", "turn_idx"), "left")
+    // git-SHA provenance stamp on semantic nodes/edges (F9,
+    // ref:src/fancyrag/kg/pipeline.py:471-487) — only when the caller
+    // resolved one, so the engine stays config-free by default
+    val gitProp: Seq[org.apache.spark.sql.Column] =
+      cfg.gitCommit.toSeq.flatMap(sha => Seq(lit("git_commit"), lit(sha)))
     val entityNodes = mentionChunks
       .groupBy(col("canon_label"), col("canon_norm"), col("canon_name"))
       .agg(
@@ -121,11 +142,11 @@ object KgBuild {
         min(col("conv_id")).as("conv_id"))
       .select(
         entId(col("canon_label"), col("canon_norm")).as("id"),
-        array(col("canon_label"), lit("__Entity__")).as("labels"),
+        array_distinct(array(col("canon_label"), lit("__Entity__"))).as("labels"),
         col("canon_name").as("name"),
-        map(
+        map(Seq(
           lit("semantic_source"), lit(SemanticSource),
-          lit("chunk_uids"), to_json(col("chunk_uids"))).as("props"),
+          lit("chunk_uids"), to_json(col("chunk_uids"))) ++ gitProp: _*).as("props"),
         col("conv_id"))
     val nodes = Materializer.stamp(
       docNodes.unionByName(chunkNodes).unionByName(entityNodes), cfg)
@@ -145,16 +166,36 @@ object KgBuild {
         concat(lit("chunk:"), col("chunk_uid")).as("src"),
         entId(col("canon_label"), col("canon_norm")).as("dst"),
         lit("INGESTED_BY").as("rel_type"),
-        map(lit("semantic_source"), lit(SemanticSource)).as("props"),
+        map(Seq(lit("semantic_source"), lit(SemanticSource)) ++ gitProp: _*).as("props"),
         col("conv_id"))
-    val semanticEdges = relations.select(
-      entId(col("subj_label"), col("subj_canon_norm")).as("src"),
-      entId(col("obj_label"), col("obj_canon_norm")).as("dst"),
-      col("pred").as("rel_type"),
-      map(
-        lit("semantic_source"), lit(SemanticSource),
-        lit("turn_idx"), col("turn_idx").cast("string")).as("props"),
-      col("conv_id"))
+    // Semantic relationships carry full provenance like the reference's
+    // _annotate_semantic_graph (ref:src/fancyrag/kg/pipeline.py:595-611):
+    // sorted chunk_uids of the supporting chunks, the source document's
+    // checksum, and the git commit — and are aggregated on the MERGE key
+    // (src, dst, rel_type) so one relationship row carries the union of its
+    // evidence (the writer's Neo4j MERGE semantics,
+    // ref:src/fancyrag/db/neo4j_queries.py:108).
+    val docChecksums = arts.select(col("conv_id"), col("doc_checksum"))
+    val semanticEdges = relations
+      .join(turnChunks, Seq("conv_id", "turn_idx"), "left")
+      .join(docChecksums, Seq("conv_id"), "left")
+      .groupBy(
+        entId(col("subj_label"), col("subj_canon_norm")).as("src"),
+        entId(col("obj_label"), col("obj_canon_norm")).as("dst"),
+        col("pred").as("rel_type"))
+      .agg(
+        array_sort(collect_set(col("chunk_uid"))).as("chunk_uids"),
+        min(col("turn_idx")).as("turn_idx"),
+        min(col("doc_checksum")).as("document_checksum"),
+        min(col("conv_id")).as("conv_id"))
+      .select(
+        col("src"), col("dst"), col("rel_type"),
+        map(Seq(
+          lit("semantic_source"), lit(SemanticSource),
+          lit("turn_idx"), col("turn_idx").cast("string"),
+          lit("chunk_uids"), to_json(col("chunk_uids")),
+          lit("document_checksum"), col("document_checksum")) ++ gitProp: _*).as("props"),
+        col("conv_id"))
     val edges = Materializer.stamp(
       hasChunk.unionByName(ingestedBy).unionByName(semanticEdges), cfg)
       .drop("conv_id")
@@ -269,7 +310,10 @@ object KgBuild {
   def tripleView(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val names = nodes.select(col("id"), col("name"))
     edges
-      .filter(col("rel_type").isin("FOUNDED", "JOINED", "LAUNCHED"))
+      // entity-to-entity semantic relations — selected structurally (both
+      // endpoints are entities), not by a hardcoded predicate list (P7)
+      .filter(col("props").getItem("semantic_source").isNotNull &&
+        col("src").startsWith("ent:") && col("dst").startsWith("ent:"))
       .join(names.withColumnRenamed("name", "subj"), col("src") === col("id")).drop("id")
       .join(names.withColumnRenamed("name", "obj"), col("dst") === col("id")).drop("id")
       .select(col("subj"), col("rel_type").as("pred"), col("obj"))

@@ -50,11 +50,21 @@ object KgBuildMain {
     val profile = base.copy(
       chunkSize = a.get("chunk-size").map(_.toInt).getOrElse(base.chunkSize),
       overlap = a.get("overlap").map(_.toInt).getOrElse(base.overlap))
+    // F9: stamp the engine's git SHA into semantic props + the run log
+    // (ref:src/fancyrag/kg/pipeline.py:471-487); absent outside a checkout
+    val gitCommit = scala.util.Try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+      val sha = new String(p.getInputStream.readAllBytes()).trim
+      p.waitFor()
+      sha
+    }.toOption.filter(s => s.matches("[0-9a-f]{40}"))
     val cfg = RunConfig(
       runKey = a.getOrElse("run-key", s"kg-build:${java.util.UUID.nameUUIDFromBytes(a.toString.getBytes)}"),
       profile = profile,
       numPartitions = a.get("partitions").map(_.toInt).getOrElse(32),
-      saltBuckets = a.get("salt").map(_.toInt).getOrElse(8))
+      saltBuckets = a.get("salt").map(_.toInt).getOrElse(8),
+      minCandidateSupport = a.get("min-candidate-support").map(_.toInt).getOrElse(2),
+      gitCommit = gitCommit)
     val thresholds = QaThresholds(
       maxMissingEmbeddings = a.get("max-missing-embeddings").map(_.toLong).getOrElse(0L),
       maxOrphanChunks = a.get("max-orphan-chunks").map(_.toLong).getOrElse(0L),
@@ -72,16 +82,24 @@ object KgBuildMain {
     // run-log artifact (sanitized JSON), ref:src/fancyrag/kg/pipeline.py:1489-1546
     val log =
       s"""{"run_key":"${cfg.runKey}","status":"${qa.status}",""" +
+        s""""git_commit":"${cfg.gitCommit.getOrElse("unknown")}",""" +
         s""""counts":{${qa.counts.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
         s""""anomalies":{${qa.anomalies.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
     println(log)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/artifacts"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$out/artifacts/run_log.json"),
-      graft.qa.Sanitizer.scrubText(log))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$out/artifacts/qa_report.md"),
-      graft.qa.QaEvaluator.reportMarkdown(qa))
+    // artifact names pass the filesystem-safe sanitizer (F5); per-run copies
+    // live under a run-key-derived directory like the reference's per-source
+    // artifact dirs (ref:src/fancyrag/kg/pipeline.py:614-626)
+    val runDir = s"$out/artifacts/run-${graft.qa.Sanitizer.fsSafe(cfg.runKey)}"
+    Seq(s"$out/artifacts", runDir).foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    Seq(s"$out/artifacts", runDir).foreach { d =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/run_log.json"),
+        graft.qa.Sanitizer.scrubText(log))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/qa_report.md"),
+        graft.qa.QaEvaluator.reportMarkdown(qa))
+    }
     spark.stop()
     if (qa.status != "pass") sys.exit(2)
   }

@@ -38,7 +38,8 @@ object ConvStage {
       chunks: Seq[ChunkOut],
       mentions: Seq[Mention],
       rels: Seq[RelOut],
-      turn_checksums: Seq[TurnChecksum])
+      turn_checksums: Seq[TurnChecksum],
+      candidates: Seq[Mention]) // out-of-dictionary candidate mentions (X5)
 
   /** Pure per-conversation computation (unit-testable without Spark). */
   def perConversation(convId: String, turnsUnsorted: Seq[(Int, String)],
@@ -80,10 +81,12 @@ object ConvStage {
     // ---- extraction + sequential anaphora (streaming-identical semantics) --
     val mentions = Seq.newBuilder[Mention]
     val rels = Seq.newBuilder[RelOut]
+    val candidates = Seq.newBuilder[Mention]
     var lastCompany: Option[String] = None
     turns.foreach { case (turnIdx, text) =>
       val e = Extractor.extractTurn(convId, turnIdx, text)
       mentions ++= e.mentions
+      candidates ++= e.candidates
       val companyHere = e.mentions.filter(_.label == "Company")
         .sortBy(_.begin).lastOption.map(_.norm)
       e.rels.foreach { r =>
@@ -97,7 +100,7 @@ object ConvStage {
       TurnChecksum(idx, Determinism.sha256(text))
     }
     ConvArtifacts(convId, turns.size, Determinism.sha256(doc),
-      chunkOuts, mentions.result(), rels.result(), checksums)
+      chunkOuts, mentions.result(), rels.result(), checksums, candidates.result())
   }
 
   /** Distributed fused pass; persisted because five downstream tables explode

@@ -40,7 +40,8 @@ object Extractor {
       conv_id: String,
       turn_idx: Int,
       mentions: Seq[Mention],
-      rels: Seq[RelCand]
+      rels: Seq[RelCand],
+      candidates: Seq[Mention] // out-of-dictionary candidate mentions (X5)
   )
 
   /** One alternation regex over every surface form, longest-first so the
@@ -136,6 +137,53 @@ object Extractor {
     ms.result()
   }
 
+  @inline private def isUpperAscii(c: Char): Boolean = c >= 'A' && c <= 'Z'
+
+  /** Out-of-dictionary candidate mentions: runs of >= 2 consecutive
+    * capitalized words (each >= 2 chars, single-space separated) that do not
+    * overlap a gazetteer match. The reference's LLM extractor emits entities
+    * beyond any dictionary (SURVEY.md X5); this NER-style heuristic is the
+    * deterministic analog — candidates that recur become `__Entity__` nodes
+    * (KgBuild filters by RunConfig.minCandidateSupport), so the engine can
+    * link more than what's in the static dictionary.
+    */
+  private[graft] def scanCandidates(convId: String, turnIdx: Int, text: String,
+      taken: Seq[Mention]): Seq[Mention] = {
+    val out = Seq.newBuilder[Mention]
+    def overlapsTaken(s: Int, e: Int): Boolean =
+      taken.exists(m => s < m.end && e > m.begin)
+    var runStart = -1
+    var runEnd = -1
+    var runWords = 0
+    def flush(): Unit = {
+      if (runWords >= 2 && !overlapsTaken(runStart, runEnd)) {
+        val surf = text.substring(runStart, runEnd)
+        val id = Determinism.sha256(s"$convId:$turnIdx:$runStart:cand").take(16)
+        out += Mention(conv_id = convId, turn_idx = turnIdx, mention_id = id,
+          surface = surf, norm = Gazetteer.normalize(surf), label = "__Candidate__",
+          begin = runStart, end = runEnd)
+      }
+      runStart = -1; runEnd = -1; runWords = 0
+    }
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      if (isWordChar(text.charAt(i)) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
+        var e = i
+        while (e < n && isWordChar(text.charAt(e))) e += 1
+        val cap = isUpperAscii(text.charAt(i)) && e - i >= 2
+        // a run continues only across exactly one space
+        val contiguous = runStart >= 0 && i == runEnd + 1 && text.charAt(runEnd) == ' '
+        if (cap && contiguous) { runEnd = e; runWords += 1 }
+        else if (cap) { flush(); runStart = i; runEnd = e; runWords = 1 }
+        else flush()
+        i = e
+      } else i += 1
+    }
+    flush()
+    out.result()
+  }
+
   /** Pure per-turn extraction (unit-testable without Spark). */
   def extractTurn(convId: String, turnIdx: Int, text: String): ExtractedTurn = {
     val mentions = scanMentions(convId, turnIdx, text)
@@ -160,7 +208,8 @@ object Extractor {
           rels += RelCand(convId, turnIdx, p.norm, "JOINED", None, anaphora = true)
       }
     }
-    ExtractedTurn(convId, turnIdx, mentions, rels.result())
+    ExtractedTurn(convId, turnIdx, mentions, rels.result(),
+      scanCandidates(convId, turnIdx, text, mentions))
   }
 
   /** Distributed extraction: one narrow pass over turns (no shuffle). */

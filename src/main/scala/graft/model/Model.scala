@@ -129,5 +129,11 @@ final case class RunConfig(
     runKey: String, // analog of kg-build:{uuid4} (ref:pipeline.py:1452), deterministic here
     profile: ChunkProfile = ChunkProfile.text,
     numPartitions: Int = 32, // bucket(conv_id) partition count
-    saltBuckets: Int = 8 // salting factor for hot entity-link keys
+    saltBuckets: Int = 8, // salting factor for hot entity-link keys
+    // out-of-dictionary candidate mentions must recur this often to become
+    // __Entity__ nodes (X5: data-derived canonical entities)
+    minCandidateSupport: Int = 2,
+    // git SHA stamped into semantic node/edge props + run log when present
+    // (F9 provenance, ref:src/fancyrag/kg/pipeline.py:471-487)
+    gitCommit: Option[String] = None
 )

@@ -116,8 +116,16 @@ object QaEvaluator {
       .filter(col("embedding").isNull || size(col("embedding")) === 0).count()
     val orphans = orphanChunks(chunks, edges).count()
     val mismatches = checksumMismatches(sourceTurns, storedChecksums).count()
-    val entityNodes = nodes.filter(array_contains(col("labels"), "__Entity__"))
-    val semanticEdges = edges.filter(col("rel_type").isin("FOUNDED", "JOINED", "LAUNCHED", "INGESTED_BY"))
+    // Orphan check covers schema-labeled entities (labels beyond the bare
+    // __Entity__ catch-all): those arise from relation/mention patterns and
+    // must be connected. Data-derived candidate entities (label __Entity__
+    // only) legitimately exist without relations — they carry chunk_uids
+    // provenance, not edges — so they are not anomalies.
+    val entityNodes = nodes.filter(array_contains(col("labels"), "__Entity__") &&
+      size(array_distinct(col("labels"))) > 1)
+    // semantic relations selected by provenance property, not a hardcoded
+    // type list (P7; ref:queries/hybrid_retrieval.cypher:6)
+    val semanticEdges = edges.filter(col("props").getItem("semantic_source").isNotNull)
     val semOrphans = orphanEntities(entityNodes, semanticEdges).count()
 
     val statsRow = chunks.agg(

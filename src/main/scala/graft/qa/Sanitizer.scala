@@ -22,6 +22,15 @@ object Sanitizer {
   def scrubText(s: String): String =
     tokenPatterns.foldLeft(s)((acc, p) => p.replaceAllIn(acc, Mask))
 
+  /** Filesystem-safe artifact name (F5): any run of characters outside
+    * [A-Za-z0-9_.-] collapses to "-"
+    * (ref:src/fancyrag/kg/pipeline.py:614-626).
+    */
+  def fsSafe(name: String): String = {
+    val cleaned = name.replaceAll("[^A-Za-z0-9_.-]+", "-")
+    if (cleaned.isEmpty) "artifact" else cleaned
+  }
+
   /** Recursively scrub a nested structure of Map/Seq/String. */
   def scrub(v: Any): Any = v match {
     case m: Map[_, _] =>

@@ -80,4 +80,21 @@ class ExtractorSpec extends AnyFunSuite {
       assert(fast == slow, s"mismatch on '$text': fast=$fast slow=$slow")
     }
   }
+
+  test("candidate scan finds capitalized runs, skips gazetteer overlaps and single words") {
+    val e = Extractor.extractTurn("c", 0,
+      "Alice Nguyen met Quantum Dynamics near The Hague. Nothing else here.")
+    assert(e.candidates.map(_.surface) == Seq("Quantum Dynamics", "The Hague"),
+      e.candidates.map(_.surface).toString)
+    assert(e.mentions.exists(_.norm == "alice nguyen"),
+      "gazetteer surface must stay a mention, not a candidate")
+    // offsets point at the matched substring
+    e.candidates.foreach { m =>
+      assert("Alice Nguyen met Quantum Dynamics near The Hague. Nothing else here."
+        .substring(m.begin, m.end) == m.surface)
+    }
+    // single capitalized words and punctuation-broken runs don't qualify
+    val e2 = Extractor.extractTurn("c", 1, "Weather today. Report: Summary, Notes")
+    assert(e2.candidates.isEmpty, e2.candidates.toString)
+  }
 }

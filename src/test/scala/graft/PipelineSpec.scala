@@ -96,6 +96,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(qa.anomalies("checksum_mismatches") == 1)
   }
 
+  test("data-derived entities: a recurring out-of-dictionary surface becomes an __Entity__ node") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val t = Seq(
+      ("conv-x", 0, "user", "We met the team from Quantum Dynamics yesterday.", Option.empty[String], ts),
+      ("conv-x", 1, "assistant", "Quantum Dynamics builds lab robots.", Option.empty[String], ts),
+      ("conv-y", 0, "user", "A single mention of Hyperion Labs only.", Option.empty[String], ts)
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val g2 = KgBuild.buildGraph(t, RunConfig(runKey = "kg:ood", numPartitions = 2))
+    val ents = g2.nodes.filter(array_contains(col("labels"), "__Entity__"))
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(ents.contains("Quantum Dynamics"), s"got $ents")
+    assert(!ents.contains("Hyperion Labs"), "below-support candidate must not become an entity")
+    val qd = g2.nodes.filter(col("name") === "Quantum Dynamics").collect().head
+    assert(qd.getAs[Map[String, String]]("props").contains("chunk_uids"))
+    spark.catalog.clearCache()
+  }
+
+  test("semantic edges carry chunk_uids + document_checksum, merged on (src,dst,rel_type)") {
+    val sem = g.edges.filter(col("props").getItem("document_checksum").isNotNull)
+    assert(sem.count() > 0)
+    // MERGE key uniqueness for semantic relations
+    val dups = sem.groupBy("src", "dst", "rel_type").count().filter(col("count") > 1)
+    assert(dups.count() == 0)
+    val props = sem.limit(1).collect().head.getAs[Map[String, String]]("props")
+    val uids = props("chunk_uids")
+    assert(uids.startsWith("[") && uids.contains("\""), s"chunk_uids not a JSON array: $uids")
+    assert(props("document_checksum").length == 64)
+  }
+
   test("canonicalization collapses aliases: no two entity nodes share a canon name+label") {
     val dupes = g.nodes
       .filter(array_contains(col("labels"), "__Entity__"))
