@@ -85,24 +85,50 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "start_off")
         .orderBy("conv_id", "turn_idx")),
 
-    // ---- KG pipeline over the SEEDED synthetic table (non-SQL stages:
-    //      approximate chunker, regex extraction, CC fixpoint) — rows-only ----
+    // ---- KG pipeline stages over DERIVED transcripts, oracle-verified:
+    //      the REAL chunker (exact mode), the REAL dictionary scanner and
+    //      relation-rule machinery (term schema), and the REAL CC resolver,
+    //      each mirrored by ANSI SQL. The approximate-chunker/gazetteer/
+    //      anaphora path stays covered by kg_triples_synth (rows-only) and
+    //      the sbt golden P/R suite. ----
+    "kg_chunks" -> ((s, d) =>
+      ChunkStage.chunks(TranscriptDeriver.turns(s, d),
+        ChunkProfile("exact", 600, 120, approximate = false))
+        .select(col("conv_id"), col("index").as("idx"), col("chunk_uid"),
+          col("checksum"), col("start").as("start_off"), col("end").as("end_off"))
+        .orderBy("conv_id", "idx")),
+    "kg_mentions" -> ((s, d) => {
+      import s.implicits._
+      val ex = Extractor.termExtractor(gazetteerTerms)
+      TranscriptDeriver.turns(s, d)
+        .select("conv_id", "turn_idx", "text").as[(String, Int, String)]
+        .mapPartitions(_.flatMap { case (c, t, x) => ex.scanMentions(c, t, x) })
+        .toDF()
+        .groupBy(col("conv_id"), col("turn_idx"), col("norm"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("conv_id", "turn_idx", "norm")
+    }),
+    "kg_triples" -> ((s, d) => {
+      import s.implicits._
+      // term-schema relation rule: adjacent dictionary terms -> NEXT_TO,
+      // via the same scanner + connector-rule machinery as the gazetteer path
+      val ex = Extractor.termExtractor(gazetteerTerms)
+      TranscriptDeriver.turns(s, d)
+        .select("conv_id", "turn_idx", "text").as[(String, Int, String)]
+        .mapPartitions(_.flatMap { case (c, t, x) =>
+          ex.sameTurnRels(c, t, x, ex.scanMentions(c, t, x))
+        })
+        .toDF()
+        .select(col("subj_norm").as("subj"), col("pred"),
+          col("obj_norm").as("obj"))
+        .groupBy("subj", "pred", "obj")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("subj", "pred", "obj")
+    }),
     "kg_triples_synth" -> ((s, _) => {
       val turns = TranscriptGen.table(s, 30L).toDF()
       KgBuild.buildGraph(turns, RunConfig(runKey = "kg-build:verify"))
         .triples.orderBy("subj", "pred", "obj")
-    }),
-    "kg_chunks_synth" -> ((s, _) => {
-      val turns = TranscriptGen.table(s, 30L).toDF()
-      ChunkStage.chunks(turns, ChunkProfile.text)
-        .select("conv_id", "index", "chunk_uid", "checksum", "start", "end")
-        .orderBy("conv_id", "index")
-    }),
-    "kg_mentions_synth" -> ((s, _) => {
-      val turns = TranscriptGen.table(s, 30L).toDF()
-      Extractor.mentions(Extractor.extract(turns)).toDF()
-        .select("conv_id", "turn_idx", "begin", "end", "surface", "norm", "label")
-        .orderBy("conv_id", "turn_idx", "begin")
     }),
     "kg_canonical_entities" -> ((s, _) =>
       Resolver.canonicalEntities(s)
@@ -208,11 +234,16 @@ object SparkEntry {
           col("n"))
         .orderBy("returnflag", "linestatus")),
     "q_approx_distinct" -> ((s, d) =>
-      // sketch aggregate (HLL): rows-only — approx values are engine-specific
+      // sketch aggregate (HLL): the sketch value is engine-specific, so the
+      // oracle checks the exact column plus the sketch's ACCURACY CONTRACT
+      // (within 5% of exact at rsd=0.01) as a boolean
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double") <=
+            col("exact_parts").cast("double") * 0.05).as("approx_within_5pct"))
         .orderBy("l_returnflag")),
 
     // ---- entity-linking join shape with oracle (J7 demo over sf tables) ----
@@ -275,20 +306,34 @@ object SparkEntry {
         .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_est_tokens")
         .orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) =>
-      TextAnalysis.withFingerprint(docs(s, d), "text")
+      // md5-window variant: same winnowing shape, oracle-verifiable values
+      // (the xxhash64 default stays the scale path, sbt-tested)
+      TextAnalysis.withFingerprintMd5(docs(s, d), "text")
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
-    "q_multimodal_features" -> ((s, _) =>
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 500L)).toDF()
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, d))).toDF()
         .select("media_id", "kind", "n_bytes", "frames_sampled")
         .orderBy("media_id")),
 
-    // ---- retrieval surface (R1-R3 + J6) over the shared synthetic KG ----
-    "q_retrieval_hybrid" -> ((s, _) => {
-      val g = syntheticKg(s, 20L)
-      Retrieval.hybrid(g.chunks, "Who founded Acme Corp?", 5)
-        .withColumn("score", round(col("score"), 4))
-        .select("chunk_uid", "score")
+    // ---- retrieval surface (R1-R3 + J6) ----
+    // Hybrid runs the REAL fusion operator over a chunk view of the driver's
+    // documents+embeddings tables, so the whole path (cosine top-k, sqrt-norm
+    // fulltext, over-fetch, full-outer fusion, max-normalize, final top-k)
+    // is value-verified by the DuckDB oracle.
+    "q_retrieval_hybrid" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val corpus = docs(s, d)
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").cast("string").as("chunk_uid"), col("text"),
+          col("embedding"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Retrieval.hybridVec(corpus, qv, HybridQueryText, 5)
+        .withColumn("score_ppm",
+          floor(col("score") * 1e6 + 0.5).cast("long"))
+        .select("chunk_uid", "score_ppm")
+        .orderBy("chunk_uid")
     }),
     "q_semantic_expansion" -> ((s, _) => {
       val g = syntheticKg(s, 20L)
@@ -303,6 +348,10 @@ object SparkEntry {
   val gazetteerTerms: Seq[String] = Seq(
     "spark", "join", "window", "filter", "merge",
     "vector", "stream", "hash", "agg", "query")
+
+  val HybridQueryText = "spark join window filter merge"
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -449,7 +498,184 @@ object SparkEntry {
           |    w -> CAST(ceil(length(regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')) / 4.0) AS BIGINT)
           |       + length(regexp_replace(w, '[a-zA-Z0-9]', '', 'g')))), 0) AS BIGINT) AS n_bpe_tokens,
           |  CAST(greatest(1, ceil(length(text) / 4.0)) AS BIGINT) AS n_est_tokens
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // ---- round-2 oracle expansion ----
+      "q_lang_id" -> {
+        val hitCols = TextAnalysis.stopwords.keys.toSeq.sorted.map { l =>
+          val words = TextAnalysis.stopwords(l).map(sq).mkString(", ")
+          s"list_sum(list_transform(toks, x -> CASE WHEN x IN ($words) THEN 1 ELSE 0 END)) AS h_$l"
+        }.mkString(",\n  ")
+        s"""WITH t AS (SELECT regexp_split_to_array(lower(text), '[^a-z0-9'']+') AS toks FROM documents),
+           |h AS (SELECT
+           |  $hitCols
+           |FROM t),
+           |b AS (SELECT h_en, h_de, h_fr, h_es, greatest(h_en, h_de, h_fr, h_es) AS best FROM h),
+           |p AS (SELECT CASE WHEN best IS NULL OR best = 0 THEN 'und'
+           |             WHEN h_fr = best THEN 'fr' WHEN h_es = best THEN 'es'
+           |             WHEN h_en = best THEN 'en' ELSE 'de' END AS lang_pred FROM b)
+           |SELECT lang_pred, count(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      "q_approx_distinct" ->
+        """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          |       TRUE AS approx_within_5pct
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      "kg_canonical_entities" -> {
+        // the DuckDB side recomputes the connected-components closure with
+        // WITH RECURSIVE over the same alias-chain edges the Resolver consumes
+        val edges = (graft.extract.Gazetteer.aliasChainEdges ++
+          graft.extract.Gazetteer.aliasRows.map(r => (r._1, r._1)))
+          .map { case (u, v) => s"(${sq(u)}, ${sq(v)})" }.mkString(", ")
+        val heads = graft.extract.Gazetteer.aliasRows
+          .filter(r => graft.extract.Gazetteer.normalize(r._2) == r._1)
+          .map(r => s"(${sq(r._1)}, ${sq(r._2)})").mkString(", ")
+        val labels = graft.extract.Gazetteer.aliasRows.map(r => (r._1, r._3)).distinct
+          .map { case (n, l) => s"(${sq(n)}, ${sq(l)})" }.mkString(", ")
+        s"""WITH RECURSIVE
+           |edges(u, v) AS (VALUES $edges),
+           |sym(u, v) AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+           |nodes(n) AS (SELECT DISTINCT u FROM sym),
+           |reach(n, m) AS (
+           |  SELECT n, n FROM nodes
+           |  UNION
+           |  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u),
+           |rep AS (SELECT n AS member, min(m) AS rep FROM reach GROUP BY n),
+           |heads(head_norm, display) AS (VALUES $heads),
+           |lbl(norm, label) AS (VALUES $labels),
+           |repdisp AS (
+           |  SELECT r.rep AS rep, coalesce(min(h.display), r.rep) AS canon_name
+           |  FROM rep r LEFT JOIN heads h ON r.member = h.head_norm
+           |  GROUP BY r.rep)
+           |SELECT r.member AS norm, r.rep AS canon_norm, d.canon_name,
+           |       coalesce(l.label, '__Entity__') AS label
+           |FROM rep r JOIN repdisp d ON r.rep = d.rep
+           |LEFT JOIN lbl l ON r.member = l.norm
+           |ORDER BY norm""".stripMargin
+      },
+      "q_dedup_ngram" ->
+        """WITH base AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+          |tk AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM base),
+          |g AS (SELECT id, list_distinct(list_transform(
+          |        generate_series(0, greatest(len(toks) - 3, 0)),
+          |        i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS grams FROM tk),
+          |p AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+          |d AS (SELECT *, count(*) OVER (PARTITION BY gram) AS df FROM p),
+          |pr AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY df, gram) AS pos FROM d),
+          |pf AS (SELECT id, gram FROM pr WHERE pos <= n_grams - ceil(0.8 * n_grams) + 1),
+          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          |         FROM pf a JOIN pf b USING (gram) WHERE a.id < b.id),
+          |v AS (SELECT c.id_a, c.id_b,
+          |        len(list_intersect(ga.grams, gb.grams)) AS shared,
+          |        len(ga.grams) AS na, len(gb.grams) AS nb
+          |      FROM cand c JOIN g ga ON ga.id = c.id_a JOIN g gb ON gb.id = c.id_b)
+          |SELECT id_a, id_b, shared / CAST(na + nb - shared AS DOUBLE) AS jaccard
+          |FROM v WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.8
+          |ORDER BY id_a, id_b""".stripMargin,
+      "q_fingerprint" ->
+        """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents)
+          |SELECT doc_id,
+          |  CASE WHEN len(toks) = 0 THEN '0'
+          |       ELSE list_min(list_transform(generate_series(0, greatest(len(toks) - 8, 0)),
+          |              i -> md5(array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')))) END AS fingerprint
+          |FROM t ORDER BY doc_id""".stripMargin,
+      "kg_chunks" ->
+        s"""WITH $turnsCte,
+           |docs AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+           |         FROM turns GROUP BY conv_id),
+           |c AS (
+           |  SELECT conv_id, CAST(i AS INT) AS idx,
+           |         CAST(i * 480 AS INT) AS start_off,
+           |         CAST(least(i * 480 + 600, length(doc_text)) AS INT) AS end_off,
+           |         substr(doc_text, CAST(i * 480 + 1 AS BIGINT), 600) AS chunk_text
+           |  FROM docs, LATERAL unnest(generate_series(0,
+           |         CAST(CASE WHEN length(doc_text) <= 600 THEN 0
+           |              ELSE ceil((length(doc_text) - 600) / 480.0) END AS BIGINT))) AS t(i))
+           |SELECT conv_id, idx,
+           |       sha256(conv_id || ':' || CAST(idx AS VARCHAR) || ':' || sha256(chunk_text)) AS chunk_uid,
+           |       sha256(chunk_text) AS checksum, start_off, end_off
+           |FROM c ORDER BY conv_id, idx""".stripMargin,
+      "kg_mentions" -> {
+        val vals = gazetteerTerms.map(t => s"(${sq(t)})").mkString(", ")
+        s"""WITH $turnsCte, dict(term) AS (VALUES $vals),
+           |m AS (SELECT conv_id, turn_idx, term,
+           |        len(regexp_extract_all(text, '\\b' || term || '\\b')) AS n
+           |      FROM turns, dict)
+           |SELECT conv_id, turn_idx, term AS norm, CAST(n AS BIGINT) AS n
+           |FROM m WHERE n > 0 ORDER BY conv_id, turn_idx, norm""".stripMargin
+      },
+      "kg_triples" -> {
+        val vals = gazetteerTerms.map(t => s"(${sq(t)})").mkString(", ")
+        s"""WITH $turnsCte, dict(term) AS (VALUES $vals),
+           |tk AS (SELECT conv_id, turn_idx,
+           |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS toks
+           |       FROM turns),
+           |pairs AS (
+           |  SELECT toks[CAST(i AS INT)] AS tok_a, toks[CAST(i AS INT) + 1] AS tok_b
+           |  FROM tk, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+           |hits AS (
+           |  SELECT a.term AS subj, b.term AS obj
+           |  FROM pairs p
+           |  JOIN dict a ON regexp_matches(p.tok_a, '(^|[^a-zA-Z0-9])' || a.term || '$$')
+           |  JOIN dict b ON regexp_matches(p.tok_b, '^' || b.term || '([^a-zA-Z0-9]|$$)'))
+           |SELECT subj, 'NEXT_TO' AS pred, obj, count(*) AS n
+           |FROM hits GROUP BY 1, 2, 3 ORDER BY subj, obj""".stripMargin
+      },
+      "q_multimodal_features" ->
+        """SELECT doc_id AS media_id,
+          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(CASE CAST(doc_id % 3 AS INT)
+          |       WHEN 2 THEN greatest(1, octet_length(encode(text)) // 1024)
+          |       WHEN 1 THEN greatest(1, octet_length(encode(text)) // 4096)
+          |       ELSE 1 END AS INT) AS frames_sampled
+          |FROM documents ORDER BY media_id""".stripMargin,
+      "q_retrieval_hybrid" -> {
+        val qToks = HybridQueryText.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).distinct
+        val hits = qToks.map(t => s"CASE WHEN list_contains(toks, ${sq(t)}) THEN 1.0 ELSE 0.0 END")
+          .mkString(" + ")
+        s"""WITH corpus AS (
+           |  SELECT CAST(d.doc_id AS VARCHAR) AS chunk_uid, d.text, e.embedding
+           |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+           |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+           |sv AS (
+           |  SELECT chunk_uid,
+           |    list_sum(list_transform(list_zip(c.embedding, q.q_emb),
+           |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           |    / sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           |         * list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS score_vector
+           |  FROM corpus c, q),
+           |vtop AS (SELECT chunk_uid, score_vector FROM (
+           |  SELECT chunk_uid, score_vector,
+           |         row_number() OVER (ORDER BY score_vector DESC, chunk_uid) AS rn FROM sv) t
+           |  WHERE rn <= 20),
+           |sf AS (
+           |  SELECT chunk_uid, ($hits) / sqrt(1.0 + len(toks)) AS score_fulltext
+           |  FROM (SELECT chunk_uid,
+           |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+           |        FROM corpus) t),
+           |ftop AS (SELECT chunk_uid, score_fulltext FROM (
+           |  SELECT chunk_uid, score_fulltext,
+           |         row_number() OVER (ORDER BY score_fulltext DESC, chunk_uid) AS rn
+           |  FROM sf WHERE score_fulltext > 0) t
+           |  WHERE rn <= 20),
+           |j AS (
+           |  SELECT coalesce(v.chunk_uid, f.chunk_uid) AS chunk_uid,
+           |         coalesce(v.score_vector, 0.0) AS score_vector,
+           |         coalesce(f.score_fulltext, 0.0) AS score_fulltext
+           |  FROM vtop v FULL OUTER JOIN ftop f ON v.chunk_uid = f.chunk_uid),
+           |m AS (SELECT greatest(max(score_vector), 1e-12) AS vmax,
+           |             greatest(max(score_fulltext), 1e-12) AS fmax FROM j),
+           |fused AS (
+           |  SELECT chunk_uid, score_vector / m.vmax + score_fulltext / m.fmax AS score
+           |  FROM j, m),
+           |top AS (SELECT chunk_uid, score FROM (
+           |  SELECT chunk_uid, score, row_number() OVER (ORDER BY score DESC, chunk_uid) AS rn
+           |  FROM fused) t WHERE rn <= 5)
+           |SELECT chunk_uid, CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_ppm
+           |FROM top ORDER BY chunk_uid""".stripMargin
+      }
     )
   }
 }

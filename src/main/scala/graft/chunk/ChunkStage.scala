@@ -58,7 +58,7 @@ object ChunkStage {
       .select("conv_id", "doc_text")
       .as[(String, String)]
       .flatMap { case (conv, text) =>
-        Chunker.split(text, profile.chunkSize, profile.overlap).map { rc =>
+        Chunker.split(text, profile.chunkSize, profile.overlap, profile.approximate).map { rc =>
           ChunkRow(Chunker.chunkUid(conv, rc.index, rc.text), conv,
             rc.index + 1, rc.index, rc.text, Determinism.sha256(rc.text),
             rc.start, rc.end)

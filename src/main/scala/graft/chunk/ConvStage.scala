@@ -59,7 +59,7 @@ object ConvStage {
     val doc = sb.toString
 
     // ---- chunking ----
-    val raw = Chunker.split(doc, profile.chunkSize, profile.overlap)
+    val raw = Chunker.split(doc, profile.chunkSize, profile.overlap, profile.approximate)
 
     // ---- turn -> chunk assignment (first chunk covering the turn's start) --
     val assigned = Array.fill(turns.size)(-1)

@@ -44,82 +44,54 @@ object Extractor {
       candidates: Seq[Mention] // out-of-dictionary candidate mentions (X5)
   )
 
-  /** One alternation regex over every surface form, longest-first so the
-    * longest surface wins at a given position ("Acme Corporation" before
-    * "Acme"). Compiled once per JVM/executor; at production scale the
-    * dictionary would arrive as a broadcast variable — the compiled form is
-    * identical either way.
+  /** The gazetteer extraction schema: every surface form of every dictionary
+    * group, plus the sample-corpus connector rules
+    * (ref:sample.txt:1, ref:docs/samples/pilot.txt:1 →
+    * ref:scripts/config/kg_schema.json:14-18 patterns).
     */
-  private lazy val surfaceToEntry: Map[String, (String, String)] = {
+  lazy val gazetteerEntries: Seq[(String, String, String)] = {
     def entries(groups: Seq[Seq[String]], label: String) =
-      groups.flatMap(g => g.map(s => s -> (Gazetteer.normalize(s), label)))
-    (entries(Gazetteer.companies, "Company") ++
+      groups.flatMap(g => g.map(s => (s, Gazetteer.normalize(s), label)))
+    entries(Gazetteer.companies, "Company") ++
       entries(Gazetteer.products, "Product") ++
       entries(Gazetteer.persons, "Person") ++
-      entries(Gazetteer.operators, "Operator")).toMap
+      entries(Gazetteer.operators, "Operator")
   }
 
+  val gazetteerRules: Map[(String, String, String), String] = Map(
+    ("Person", "founded", "Company") -> "FOUNDED",
+    ("Company", "launched", "Product") -> "LAUNCHED",
+    ("Person", "joined", "Company") -> "JOINED")
+
+  /** Default extractor over the gazetteer schema. Equivalence of its scanner
+    * to the alternation regex is property-tested (ExtractorSpec).
+    */
+  lazy val default: DictExtractor = new DictExtractor(gazetteerEntries, gazetteerRules)
+
+  /** A flat single-word-term schema (each term is its own norm, label "Term",
+    * adjacency rule Term+Term -> NEXT_TO) — used to oracle-verify the scanner
+    * and rule machinery with SQL-expressible dictionaries over the driver's
+    * document tables.
+    */
+  def termExtractor(terms: Seq[String]): DictExtractor =
+    new DictExtractor(terms.map(t => (t, t, "Term")),
+      Map(("Term", "", "Term") -> "NEXT_TO"))
+
   private lazy val mentionPattern: Pattern = {
-    val alts = surfaceToEntry.keys.toSeq.sortBy(-_.length).map(Pattern.quote)
+    val alts = gazetteerEntries.map(_._1).sortBy(-_.length).map(Pattern.quote)
     Pattern.compile("(?<![A-Za-z0-9])(?:" + alts.mkString("|") + ")(?![A-Za-z0-9])")
   }
 
-  /** first-alnum-run -> candidate surfaces (longest first), for the fast
-    * scanner below.
-    */
-  private lazy val byFirstWord: Map[String, Array[String]] = {
-    def firstWord(s: String): String = s.takeWhile(isWordChar)
-    surfaceToEntry.keys.toSeq
-      .groupBy(firstWord)
-      .map { case (fw, ss) => fw -> ss.sortBy(-_.length).toArray }
-  }
+  private lazy val surfaceToEntry: Map[String, (String, String)] =
+    gazetteerEntries.map(e => e._1 -> (e._2, e._3)).toMap
 
-  @inline private def isWordChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+  @inline private def isWordChar(c: Char): Boolean = DictExtractor.isWordChar(c)
 
   private val joinedInYear = Pattern.compile(" joined in \\d{4}")
 
-  /** Fast gazetteer scan: equivalent to the alternation regex (longest match
-    * at each word start, non-overlapping, alnum boundaries) but O(words) with
-    * a hash lookup per word start instead of an NFA over ~400 alternatives —
-    * the extraction pass dominates pipeline cost, so this matters at scale.
-    * Equivalence to the regex is property-tested (ExtractorSpec).
-    */
-  private def scanMentions(convId: String, turnIdx: Int, text: String): Seq[Mention] = {
-    val ms = Seq.newBuilder[Mention]
-    val n = text.length
-    var i = 0
-    while (i < n) {
-      if (isWordChar(text.charAt(i)) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
-        // word start: extract the first alnum run
-        var e = i
-        while (e < n && isWordChar(text.charAt(e))) e += 1
-        val fw = text.substring(i, e)
-        var matched = false
-        byFirstWord.get(fw) match {
-          case Some(cands) =>
-            var c = 0
-            while (c < cands.length && !matched) {
-              val s = cands(c)
-              val end = i + s.length
-              if (end <= n && text.startsWith(s, i) &&
-                (end == n || !isWordChar(text.charAt(end)))) {
-                val (norm, label) = surfaceToEntry(s)
-                val id = Determinism.sha256(s"$convId:$turnIdx:$i").take(16)
-                ms += Mention(conv_id = convId, turn_idx = turnIdx, mention_id = id,
-                  surface = s, norm = norm, label = label, begin = i, end = end)
-                i = end
-                matched = true
-              }
-              c += 1
-            }
-          case None => ()
-        }
-        if (!matched) i = e // no match can start inside this alnum run
-      } else i += 1
-    }
-    ms.result()
-  }
+  /** Fast gazetteer scan — see [[DictExtractor.scanMentions]]. */
+  private def scanMentions(convId: String, turnIdx: Int, text: String): Seq[Mention] =
+    default.scanMentions(convId, turnIdx, text)
 
   /** Regex-based reference matcher — kept as the equivalence oracle for
     * scanMentions (used by tests only).
@@ -189,18 +161,7 @@ object Extractor {
     val mentions = scanMentions(convId, turnIdx, text)
     val rels = Seq.newBuilder[RelCand]
     // same-turn rules: consecutive mention pairs with a verb connector between
-    mentions.sliding(2).foreach {
-      case Seq(a, b) =>
-        val gap = text.substring(a.end, math.max(a.end, b.begin)).trim
-        val pred = (a.label, gap, b.label) match {
-          case ("Person", "founded", "Company")   => Some("FOUNDED")
-          case ("Company", "launched", "Product") => Some("LAUNCHED")
-          case ("Person", "joined", "Company")    => Some("JOINED")
-          case _                                  => None
-        }
-        pred.foreach(p => rels += RelCand(convId, turnIdx, a.norm, p, Some(b.norm), anaphora = false))
-      case _ => ()
-    }
+    rels ++= default.sameTurnRels(convId, turnIdx, text, mentions)
     // cross-turn anaphora: "<Person> joined in <year>" with no Company mention
     if (mentions.count(_.label == "Company") == 0) {
       mentions.filter(_.label == "Person").foreach { p =>

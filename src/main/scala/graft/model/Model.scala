@@ -111,7 +111,8 @@ object GraphSchema {
   * (text 600/100, markdown 800/120, code 400/40) with the same positivity
   * validation (ref:src/fancyrag/kg/pipeline.py:950-966).
   */
-final case class ChunkProfile(name: String, chunkSize: Int, overlap: Int) {
+final case class ChunkProfile(name: String, chunkSize: Int, overlap: Int,
+    approximate: Boolean = true) { // word-boundary end nudge ([lib] approximate=True)
   require(chunkSize > 0, s"chunk_size must be positive, got $chunkSize")
   require(overlap >= 0 && overlap < chunkSize, s"overlap must be in [0, chunk_size), got $overlap")
 }

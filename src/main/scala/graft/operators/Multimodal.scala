@@ -66,6 +66,19 @@ object Multimodal {
       }
   }
 
+  /** Media table derived deterministically from the documents table
+    * (payload = UTF-8 text bytes, kind round-robins on doc_id) — gives the
+    * multimodal plumbing an input that scales with the sf directory and whose
+    * byte/frame arithmetic an SQL oracle can verify.
+    */
+  def mediaFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("kind"),
+      col("text").cast("binary").as("payload"))
+
   /** Deterministic synthetic media table for tests/bench (payload = seeded
     * bytes; no external data).
     */

@@ -110,4 +110,18 @@ object TextAnalysis {
     df.withColumn("fingerprint",
       when(size(toks) === 0, lit(0L)).otherwise(array_min(windows)))
   }
+
+  /** Same winnowing-lite fingerprint with an md5 window hash (hex-string min)
+    * instead of xxhash64: md5 exists in both Spark and DuckDB, so this
+    * variant is value-verifiable by the SQL oracle. Prefer [[withFingerprint]]
+    * (xxhash64, no allocation) on the 100 TB path.
+    */
+  def withFingerprintMd5(df: DataFrame, textCol: String, window: Int = 8): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val windows = transform(
+      sequence(lit(0), greatest(size(toks) - window, lit(0))),
+      i => md5(array_join(slice(toks, i + 1, lit(window)), " ")))
+    df.withColumn("fingerprint",
+      when(size(toks) === 0, lit("0")).otherwise(array_min(windows)))
+  }
 }
