@@ -246,8 +246,28 @@ object KgBuild {
         .agg(count(lit(1)).as("rows"))
         .withColumn("run_key", lit(cfg.runKey))
         .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
-      // nodes last: its manifest row is the completion marker for the partition
-      Materializer.writeWithManifest(nodes, outDir, "nodes", cfg, checks)
+      // nodes last: its manifest row is the completion marker for the
+      // partition. The write is a per-partition MERGE compaction: incoming
+      // rows upsert into whatever a crashed earlier attempt left in the SAME
+      // (pending) partitions, and only those partitions are replaced (dynamic
+      // partition overwrite) — so on-disk node state is MERGE-clean per
+      // partition without relying on read-side dedupe. Safe because every
+      // replaced partition is pending (no completion manifest row), hence
+      // recomputable: a crash mid-overwrite just recomputes it again.
+      val nodesPath = s"$outDir/nodes"
+      val existingPending =
+        (try Some(spark.read.parquet(nodesPath)) catch { case _: Throwable => None }) match {
+          case Some(prior) =>
+            prior.join(nodes.select("part_id").distinct(), Seq("part_id"), "left_semi")
+          case None => nodes.limit(0)
+        }
+      // localCheckpoint (eager) detaches the merged plan from the parquet
+      // files the dynamic overwrite is about to replace — without it the
+      // write would delete its own lazy input
+      val nodesOut = Materializer.mergeUpsert(existingPending, nodes, Seq("part_id", "id"))
+        .localCheckpoint()
+      Materializer.writeWithManifest(nodesOut, outDir, "nodes", cfg, checks,
+        dynamicOverwrite = true)
       nodes.unpersist(); edges.unpersist()
     }
     pending.unpersist()

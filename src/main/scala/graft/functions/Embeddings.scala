@@ -42,10 +42,10 @@ object Embeddings {
   }
 
   /** Adds an `embedding: array<float>` column to a DataFrame with a text
-    * column; narrow map, no shuffle. Dimension guard = fixed-size output.
+    * column; narrow map, no shuffle, via the native [[EmbedText]] expression
+    * (no UDF boundary in the hot pipeline). Dimension guard = fixed-size
+    * output.
     */
-  def withEmbedding(df: DataFrame, textCol: String, dim: Int): DataFrame = {
-    val embedUdf = udf((s: String) => if (s == null) null else embed(s, dim))
-    df.withColumn("embedding", embedUdf(col(textCol)))
-  }
+  def withEmbedding(df: DataFrame, textCol: String, dim: Int): DataFrame =
+    df.withColumn("embedding", EmbedText.embedText(col(textCol), dim))
 }

@@ -43,13 +43,22 @@ object Materializer {
     * unionByName + groupBy(id) with keep-existing preference: existing rows
     * win per column; property maps merge with existing keys winning.
     */
-  def mergeUpsert(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame = {
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame =
+    mergeUpsert(existing, incoming, Seq(idCol))
+
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, idCols: Seq[String]): DataFrame = {
     val tagged = existing.withColumn("__src", lit(0))
-      .unionByName(incoming.withColumn("__src", lit(1)))
-    val others = tagged.columns.filter(c => c != idCol && c != "__src" && c != "props")
+      .unionByName(incoming.select(existing.columns.map(col): _*).withColumn("__src", lit(1)))
+    val others = tagged.columns.filter(c => !idCols.contains(c) && c != "__src" && c != "props")
     val hasProps = tagged.columns.contains("props")
     val aggs =
-      others.map(c => min_by(col(c), col("__src")).as(c)) ++
+      others.map { c =>
+        // the run key is SET on match in the reference writer (every MERGE
+        // re-stamps it, ref:src/fancyrag/kg/pipeline.py:881-884), so the
+        // INCOMING run key wins; all other scalars keep the existing value
+        if (c == "ingest_run_key") max_by(col(c), col("__src")).as(c)
+        else min_by(col(c), col("__src")).as(c)
+      } ++
         (if (hasProps) Seq(
           // union of keys, existing row's value wins per key
           map_zip_with(
@@ -57,7 +66,7 @@ object Materializer {
             max_by(col("props"), col("__src")), // incoming (or only) row
             (_, v1, v2) => coalesce(v1, v2)).as("props"))
          else Nil)
-    tagged.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    tagged.groupBy(idCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** n-way read-side MERGE: collapse rows sharing `keyCols` into one row —
@@ -97,10 +106,18 @@ object Materializer {
       outDir: String,
       stage: String,
       cfg: RunConfig,
-      inputChecksums: DataFrame // (part_id, input_checksum)
+      inputChecksums: DataFrame, // (part_id, input_checksum)
+      dynamicOverwrite: Boolean = false // replace ONLY the partitions in df
   ): Unit = {
     val spark = df.sparkSession
-    df.write.mode(SaveMode.Append).partitionBy("part_id").parquet(s"$outDir/$stage")
+    if (dynamicOverwrite) {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try df.write.mode(SaveMode.Overwrite).partitionBy("part_id").parquet(s"$outDir/$stage")
+      finally spark.conf.set(key, prev.getOrElse("static"))
+    } else
+      df.write.mode(SaveMode.Append).partitionBy("part_id").parquet(s"$outDir/$stage")
     val rowsPerPart = df.groupBy("part_id").agg(count(lit(1)).as("rows"))
     val manifest = rowsPerPart
       .join(inputChecksums, Seq("part_id"), "left")

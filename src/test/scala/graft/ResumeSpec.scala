@@ -108,6 +108,27 @@ class ResumeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("node write path is MERGE-clean on disk: recompute keeps content stable, no dup ids") {
+    val turns = TranscriptGen.table(spark, 8L).toDF().cache()
+    val dir = Files.createTempDirectory("graft-compact").toString
+    KgBuild.run(spark, turns, cfg, dir)
+    def snapshot() = spark.read.parquet(s"$dir/nodes")
+      .drop("ingest_run_key") // re-stamped per run by MERGE (SET-on-match semantics)
+      .collect().map(_.toString).sorted.toSeq
+    val before = snapshot()
+    // no duplicate (part_id, id) rows on disk — MERGE-clean without read-side dedupe
+    assert(spark.read.parquet(s"$dir/nodes")
+      .groupBy("part_id", "id").count().filter(col("count") > 1).count() == 0)
+    // force full recompute: drop the completion manifest, rerun under a new key
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest"), true)
+    KgBuild.run(spark, turns, cfg.copy(runKey = "kg-build:resume-test-rerun"), dir)
+    assert(snapshot() == before, "recompute must leave node content unchanged")
+    assert(spark.read.parquet(s"$dir/nodes")
+      .groupBy("part_id", "id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("rollback removes exactly the bad run's rows") {
     import spark.implicits._
     val turns = TranscriptGen.table(spark, 6L).toDF().cache()
