@@ -62,9 +62,10 @@ object KgBuild {
       .select(col("conv_id"), explode(col("turn_checksums")).as("tc"))
       .select(col("conv_id"), col("tc.turn_idx"), col("tc.checksum"))
     val gazMentions = arts.select(explode(col("mentions")).as("m")).select("m.*")
-    val relCands = arts.select(col("conv_id"), explode(col("rels")).as("r"))
-      .select(col("conv_id"), col("r.turn_idx"), col("r.subj_norm"),
-        col("r.pred"), col("r.obj_norm"))
+    val relCands = arts.select(col("conv_id"), col("doc_checksum"),
+      explode(col("rels")).as("r"))
+      .select(col("conv_id"), col("doc_checksum"), col("r.turn_idx"),
+        col("r.subj_norm"), col("r.pred"), col("r.obj_norm"), col("r.chunk_uid"))
 
     // ---- canonicalize: gazetteer CC fixpoint UNION data-derived candidates --
     // Out-of-dictionary candidate mentions that recur >= minCandidateSupport
@@ -174,11 +175,10 @@ object KgBuild {
     // checksum, and the git commit — and are aggregated on the MERGE key
     // (src, dst, rel_type) so one relationship row carries the union of its
     // evidence (the writer's Neo4j MERGE semantics,
-    // ref:src/fancyrag/db/neo4j_queries.py:108).
-    val docChecksums = arts.select(col("conv_id"), col("doc_checksum"))
+    // ref:src/fancyrag/db/neo4j_queries.py:108). chunk_uid and doc_checksum
+    // rode out of the fused per-conversation pass, so this costs ONE
+    // aggregation exchange, not extra joins.
     val semanticEdges = relations
-      .join(turnChunks, Seq("conv_id", "turn_idx"), "left")
-      .join(docChecksums, Seq("conv_id"), "left")
       .groupBy(
         entId(col("subj_label"), col("subj_canon_norm")).as("src"),
         entId(col("obj_label"), col("obj_canon_norm")).as("dst"),

@@ -73,9 +73,22 @@ object KgBuildMain {
 
     if (a.contains("reset")) Materializer.reset(spark, out)
 
+    // source-mode switch (S4, ref:src/fancyrag/kg/phases.py:117-177):
+    //   synth:<numConvs>       seeded synthetic transcript table
+    //   dir:<path>[:<glob>]    directory of text files (one file = one doc)
+    //   file:<path>            single text file
+    //   <path>                 parquet transcript table
     val input = a.getOrElse("input", "synth:200")
     val turns =
       if (input.startsWith("synth:")) TranscriptGen.table(spark, input.drop(6).toLong).toDF()
+      else if (input.startsWith("dir:")) {
+        val parts = input.drop(4).split(":", 2)
+        val glob = if (parts.length > 1) parts(1) else "*.txt"
+        graft.source.FileSource.asTurns(
+          graft.source.FileSource.readDirectory(spark, parts(0), glob))
+      } else if (input.startsWith("file:"))
+        graft.source.FileSource.asTurns(
+          graft.source.FileSource.readFile(spark, input.drop(5)))
       else spark.read.parquet(input)
 
     val qa = KgBuild.run(spark, turns, cfg, out, thresholds)

@@ -27,7 +27,9 @@ object ConvStage {
       checksum: String, start: Int, end: Int, turn_idxs: Seq[Int])
 
   final case class RelOut(
-      turn_idx: Int, subj_norm: String, pred: String, obj_norm: String)
+      turn_idx: Int, subj_norm: String, pred: String, obj_norm: String,
+      chunk_uid: String) // chunk containing the supporting turn — free here,
+                         // a (conv_id, turn_idx) shuffle join downstream
 
   final case class TurnChecksum(turn_idx: Int, checksum: String)
 
@@ -79,6 +81,11 @@ object ConvStage {
     }
 
     // ---- extraction + sequential anaphora (streaming-identical semantics) --
+    // turn -> covering chunk uid, for relation provenance (already assigned
+    // above; carrying it here saves downstream (conv_id, turn_idx) joins)
+    val chunkOfTurn: Map[Int, String] = turns.indices.collect {
+      case k if assigned(k) >= 0 => turns(k)._1 -> chunkOuts(assigned(k)).chunk_uid
+    }.toMap
     val mentions = Seq.newBuilder[Mention]
     val rels = Seq.newBuilder[RelOut]
     val candidates = Seq.newBuilder[Mention]
@@ -91,7 +98,8 @@ object ConvStage {
         .sortBy(_.begin).lastOption.map(_.norm)
       e.rels.foreach { r =>
         val obj = if (r.anaphora) lastCompany else r.obj_norm
-        obj.foreach(o => rels += RelOut(turnIdx, r.subj_norm, r.pred, o))
+        obj.foreach(o => rels += RelOut(turnIdx, r.subj_norm, r.pred, o,
+          chunkOfTurn.getOrElse(turnIdx, null)))
       }
       if (companyHere.isDefined) lastCompany = companyHere
     }

@@ -42,6 +42,24 @@ object VectorExport {
     require(bad == 0, s"$bad vectors do not match collection dimension $dim")
   }
 
+  /** The network-sink transport shape: stream every partition's rows to a
+    * sink callback in batches of `batchSize` — exactly what the reference's
+    * client does with its 256-point upsert batches
+    * (ref:scripts/export_to_qdrant.py:65-83,235-269). Runs on the executors
+    * (foreachPartition); returns the number of batches sent. The parquet
+    * collection in [[upsert]] is the sandbox physical target; a real vector
+    * server plugs in as `sendBatch`.
+    */
+  def pushBatched(rows: DataFrame, batchSize: Int = DefaultBatchSize)(
+      sendBatch: Seq[org.apache.spark.sql.Row] => Unit): Long = {
+    require(batchSize > 0)
+    val acc = rows.sparkSession.sparkContext.longAccumulator("export_batches")
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      it.grouped(batchSize).foreach { b => sendBatch(b); acc.add(1) }
+    }
+    acc.value
+  }
+
   /** Create-or-validate + upsert (MERGE by chunk_id keeps existing payload
     * fields when re-exporting — S6 semantics applied at the collection).
     */

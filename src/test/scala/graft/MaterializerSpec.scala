@@ -76,6 +76,15 @@ class MaterializerSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pushBatched streams every partition in bounded batches (S10 transport shape)") {
+    val rows = spark.range(1000).toDF("id").repartition(3)
+    val batches = VectorExport.pushBatched(rows, 100) { b =>
+      assert(b.nonEmpty && b.size <= 100, s"batch size ${b.size} out of bounds")
+    }
+    // >= ceil(1000/100) batches; at most one ragged batch extra per partition
+    assert(batches >= 10 && batches <= 13, s"unexpected batch count $batches")
+  }
+
   test("fetch by id strips nothing it shouldn't and filters exactly (R4)") {
     val turns = TranscriptGen.table(spark, 3L).toDF()
     val g = graft.app.KgBuild.buildGraph(turns, RunConfig(runKey = "kg:fetch"))
