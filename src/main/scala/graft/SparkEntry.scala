@@ -263,7 +263,9 @@ object SparkEntry {
       Dedup.minhashClusters(docs(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy("id")),
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.withSimhash(docs(s, d), "doc_id", "text")
+      // md5-token-hash variant (oracle-verifiable); the mix64 production
+      // simhash + pigeonhole banding stays sbt-tested (OperatorsSpec)
+      Dedup.withSimhashMd5(docs(s, d), "doc_id", "text")
         .orderBy("id")),
     "q_dedup_ngram" -> ((s, d) => {
       // duplicate-injected corpus so exact-Jaccard pair finding has hits
@@ -621,6 +623,27 @@ object SparkEntry {
            |  JOIN dict b ON regexp_matches(p.tok_b, '^' || b.term || '([^a-zA-Z0-9]|$$)'))
            |SELECT subj, 'NEXT_TO' AS pred, obj, count(*) AS n
            |FROM hits GROUP BY 1, 2, 3 ORDER BY subj, obj""".stripMargin
+      },
+      "q_dedup_simhash" -> {
+        // 60-bit simhash: token hash = first 15 hex chars of md5, parsed via
+        // strpos arithmetic; one vote term per bit
+        val hexParse =
+          "CAST(list_sum(list_transform(generate_series(1, 15), " +
+            "i -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1 AS BIGINT) " +
+            "<< (4 * (15 - CAST(i AS INT))))) AS BIGINT)"
+        val bitTerms = (0 until 60).map { b =>
+          s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+            s"THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END"
+        }.mkString("\n       + ")
+        s"""WITH t AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0),
+           |      tok -> $hexParse) AS hs
+           |  FROM documents)
+           |SELECT doc_id AS id,
+           |  CAST($bitTerms AS BIGINT) AS simhash
+           |FROM t ORDER BY id""".stripMargin
       },
       "q_multimodal_features" ->
         """SELECT doc_id AS media_id,

@@ -149,6 +149,36 @@ object Dedup {
       .toDF("id", "simhash")
   }
 
+  /** 60-bit SimHash with an md5-based token hash (first 15 hex chars) —
+    * value-verifiable by the SQL oracle, since md5 exists in both engines.
+    * Same voting semantics as [[simhash]]; prefer the mix64 variant (no
+    * digest allocation) on the 100 TB path.
+    */
+  def simhashMd5(text: String): Long = {
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    text.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok =>
+      md.reset()
+      val hex = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      var b = 0
+      while (b < 60) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def withSimhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhashMd5(if (t == null) "" else t)) })
+      .toDF("id", "simhash")
+  }
+
   /** Near-dup pairs with hamming(simhash) <= maxDist, found by pigeonhole
     * banding: split 64 bits into (maxDist+1) bands; any pair within maxDist
     * must agree exactly on at least one band — so the bucket join has full
