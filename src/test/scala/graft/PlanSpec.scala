@@ -67,6 +67,29 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("LSH ANN: query side broadcast, no cartesian, ids-only candidate join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.operators.Ann.lshTopK(emb, emb.filter(col("vec_id") < 4), 5))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("derived-turn queries prune the documents scan to (doc_id, text)") {
+    val p = plan(graft.source.TranscriptDeriver.turns(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("batched hybrid plan has no single-partition exchange (windows keyed by query_id)") {
+    import spark.implicits._
+    val chunks = Seq(("c1", "spark join text", graft.functions.Embeddings.embed("spark join text", 16)))
+      .toDF("chunk_uid", "text", "embedding")
+    val queries = Seq((0L, graft.functions.Embeddings.embed("spark", 16), "spark"))
+      .toDF("query_id", "q_emb", "q_text")
+    val p = plan(graft.operators.Retrieval.hybridBatch(chunks, queries, 3))
+    assert(!p.contains("Exchange SinglePartition"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_quantity") > 10)
