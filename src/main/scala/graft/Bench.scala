@@ -26,6 +26,10 @@ object Bench {
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // small bench parquet files otherwise land in ONE scan partition and
+    // every narrow pass (signature computation, mention scans) runs
+    // single-threaded; at production scale file counts make this moot
+    .config("spark.sql.files.minPartitionNum", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

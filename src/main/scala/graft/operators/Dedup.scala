@@ -104,14 +104,22 @@ object Dedup {
       numHashes: Int = 64, shingle: Int = 5, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val sigs = signatures(df, idCol, textCol, numHashes, shingle)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = minhashPairs(sigs, numHashes, bands, threshold)
-    val selfEdges = sigs.select(col("id").cast("string").as("u"),
-      col("id").cast("string").as("v"))
-    val edges = pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The CC fixpoint only needs the nodes that are IN a near-dup pair —
+    // a tiny graph on real corpora. Singletons (the overwhelming majority at
+    // scale) map to themselves with one anti-join instead of riding every
+    // fixpoint round as self-edges.
+    val pairEdges = pairs
       .select(col("id_a").cast("string").as("u"), col("id_b").cast("string").as("v"))
-      .union(selfEdges)
-    Resolver.connectedComponents(edges)
+    val clustered = Resolver.connectedComponents(pairEdges)
       .select(col("member").cast("long").as("id"), col("rep").cast("long").as("cluster_rep"))
+    val singletons = sigs.select(col("id"))
+      .join(pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_rep"))
+    clustered.unionByName(singletons)
   }
 
   // ---------------- SimHash ----------------
