@@ -65,6 +65,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 3L })
   }
 
+  test("prefix-filtered ngram jaccard equals brute-force all-pairs (exactness property)") {
+    import graft.util.Determinism
+    // seeded random corpus over a small vocabulary: lots of shared grams,
+    // overlapping documents at every similarity level
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (0L until 40L).map { i =>
+      val len = 12 + Determinism.draw(20, i, 1L)
+      val words = (0 until len).map(j => vocab(Determinism.draw(vocab.size, i, j.toLong, 2L)))
+      (i, words.mkString(" "))
+    }
+    def gramsOf(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      (0 to math.max(toks.length - 3, 0)).map(k => toks.slice(k, k + 3).mkString(" ")).toSet
+    }
+    for (threshold <- Seq(0.3, 0.5, 0.8)) {
+      val expected = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        ga = gramsOf(ta); gb = gramsOf(tb)
+        inter = (ga intersect gb).size.toDouble
+        j = inter / (ga.size + gb.size - inter) if j >= threshold
+      } yield ((a, b), j)).toMap
+      val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = threshold)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(got == expected,
+        s"t=$threshold missing=${(expected.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    }
+  }
+
+  test("term-schema scanner is equivalent to word-boundary regex counting") {
+    val terms = Seq("spark", "join", "agg", "query")
+    val ex = graft.extract.Extractor.termExtractor(terms)
+    val texts = Seq(
+      "spark join agg", "spark  join", "spark, join", "sparkjoin spark",
+      "agg agg agg", "query.", "'query' spark9 agg spark_x", "", "the spark")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val scanned = ex.scanMentions("c", i, t).groupBy(_.norm).view.mapValues(_.size).toMap
+      val rx = terms.map { term =>
+        term -> ("(?<![A-Za-z0-9])" + term + "(?![A-Za-z0-9])").r.findAllIn(t).size
+      }.filter(_._2 > 0).toMap
+      assert(scanned == rx, s"text '$t': scanner=$scanned regex=$rx")
+    }
+  }
+
   lazy val vecs = {
     val rows = (0L until 50L).map { i =>
       (i, graft.functions.Embeddings.embed(s"document number $i with topic ${i % 5}", 32))
