@@ -577,11 +577,15 @@ object SparkEntry {
           |        generate_series(0, greatest(len(toks) - 3, 0)),
           |        i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS grams FROM tk),
           |p AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
-          |d AS (SELECT *, count(*) OVER (PARTITION BY gram) AS df FROM p),
-          |pr AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY df, gram) AS pos FROM d),
-          |pf AS (SELECT id, gram FROM pr WHERE pos <= n_grams - ceil(0.8 * n_grams) + 1),
+          |d AS (SELECT gram, count(*) AS df FROM p GROUP BY 1),
+          |pr AS (SELECT p.*, d.df, row_number() OVER (PARTITION BY id ORDER BY d.df, p.gram) AS pos
+          |       FROM p JOIN d USING (gram)),
+          |pf AS (SELECT id, gram, n_grams FROM pr WHERE pos <= n_grams - ceil(0.8 * n_grams) + 1),
           |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          |         FROM pf a JOIN pf b USING (gram) WHERE a.id < b.id),
+          |         FROM pf a JOIN pf b USING (gram)
+          |         WHERE a.id < b.id
+          |           AND CAST(least(a.n_grams, b.n_grams) AS DOUBLE) >=
+          |               0.8 * CAST(greatest(a.n_grams, b.n_grams) AS DOUBLE)),
           |v AS (SELECT c.id_a, c.id_b,
           |        len(list_intersect(ga.grams, gb.grams)) AS shared,
           |        len(ga.grams) AS na, len(gb.grams) AS nb

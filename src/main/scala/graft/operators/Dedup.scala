@@ -240,15 +240,28 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = grams.select(col("id"), size(col("grams")).as("n_grams"),
       explode(col("grams")).as("gram"))
+    // document frequency per DISTINCT gram: a partial-aggregated groupBy
+    // (vocab-sized result) joined back onto the posting — a window over the
+    // full posting would shuffle-SORT every posting row by gram instead. No
+    // broadcast hint: AQE broadcasts when the gram vocabulary is small and
+    // falls back to a shuffle join when it isn't (web-scale n-gram
+    // vocabularies don't fit in a broadcast).
+    val gramDf = posting.groupBy("gram").agg(count(lit(1)).as("df"))
     val prefix = posting
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .join(gramDf, Seq("gram"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("gram"))))
       .filter(col("pos") <= col("n_grams") - ceil(lit(threshold) * col("n_grams")) + 1)
-    val a = prefix.select(col("gram"), col("id").as("id_a"))
-    val b = prefix.select(col("gram"), col("id").as("id_b"))
+    // AllPairs length filter: jaccard >= t implies |A∩B| <= min(|A|,|B|) and
+    // |A∩B| >= t*max(|A|,|B|), so min >= t*max — provably lossless, and it
+    // prunes the candidate explosion among same-gram docs of incompatible
+    // sizes before the distinct/verify stages.
+    val a = prefix.select(col("gram"), col("id").as("id_a"), col("n_grams").as("na"))
+    val b = prefix.select(col("gram"), col("id").as("id_b"), col("n_grams").as("nb"))
     val pairs = a.join(b, Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
       .select("id_a", "id_b").distinct()
     pairs
       .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
