@@ -264,6 +264,12 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5, nCells = 16, nProbe = 4)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("query_id", "rank")
+    }),
     "q_cosine_neardup" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       Ann.cosineNearDupPairs(emb, threshold = 0.2, nBits = 32, bands = 2)

@@ -100,6 +100,115 @@ object Ann {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** Deterministic k-means coarse quantizer for [[ivfTopK]]: trained
+    * driver-side on a seeded, order-deterministic sample (Lloyd iterations
+    * with cosine assignment, lowest-index tie-break, stride init), so the
+    * cell layout is reproducible run to run. At production scale the trainer
+    * would sample via a fixed-hash predicate instead of limit(); the
+    * centroid table stays tiny (nCells × dim) and broadcasts.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int = 8,
+      sampleN: Int = 2048): Array[Array[Float]] = {
+    require(nCells >= 1)
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    var cents = Array.tabulate(nCells)(i =>
+      sample(((i.toLong * sample.length) / nCells).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Int](nCells)
+      sample.foreach { v =>
+        val c = nearestCell(cents, v)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Index of the centroid with max cosine similarity (lowest index wins ties). */
+  def nearestCell(cents: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      val n = math.min(cent.length, v.length)
+      while (j < n) {
+        dot += cent(j).toDouble * v(j); na += cent(j).toDouble * cent(j); nb += v(j).toDouble * v(j)
+        j += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def probeCells(cents: Array[Array[Float]], v: Array[Float], nProbe: Int): Seq[Int] = {
+    val scored = cents.indices.map { c =>
+      val cent = cents(c)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      val n = math.min(cent.length, v.length)
+      while (j < n) {
+        dot += cent(j).toDouble * v(j); na += cent(j).toDouble * cent(j); nb += v(j).toDouble * v(j)
+        j += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+      (s, c)
+    }
+    scored.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+  }
+
+  /** IVF (inverted-file) ANN: the second scale path next to [[lshTopK]].
+    * Corpus vectors are assigned to their nearest coarse-quantizer cell in
+    * one narrow pass (centroids ride the task closure, the distributed form
+    * of a broadcast); each query probes its nProbe nearest cells; candidates
+    * come from a co-partitioned equi-join on cell id and are reranked
+    * exactly. Recall is tuned by nProbe; the index build is a single narrow
+    * pass + small shuffle, which is what survives 100 TB.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, nCells)
+    val corpusCells = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, nearestCell(cents, v)) })
+      .toDF("vec_id", "cell")
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect() // query set is small by contract
+    val qCells = qRows.toSeq
+      .flatMap { case (qid, v) => probeCells(cents, v, nProbe).map(c => (qid, c)) }
+      .toDF("query_id", "cell")
+    val cands = corpusCells.join(broadcast(qCells), Seq("cell"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("score", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
   /** Embedding-cosine near-duplicate pairs (training-data dedup by embedding):
     * ids-only LSH-bucketed self-join, embeddings re-attached per candidate
     * pair, exact cosine verify at threshold.

@@ -140,6 +140,22 @@ class OperatorsSpec extends AnyFunSuite {
     (0L until 10L).foreach(i => assert(lsh.contains((i, i))))
   }
 
+  test("IVF ANN: recall@5 vs brute force is high; self always found") {
+    val q = vecs.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(vecs, q, 5).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(vecs, q, 5, nCells = 8, nProbe = 3).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // a query vector's own cell is always its top probe -> self always found
+    (0L until 10L).foreach(i => assert(ivf.contains((i, i))))
+    // determinism: same centroids, same result
+    val again = Ann.ivfTopK(vecs, q, 5, nCells = 8, nProbe = 3).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
   test("cosine near-dup pairs finds duplicate embeddings") {
     val withDup = vecs.union(Seq((99L,
       graft.functions.Embeddings.embed("document number 0 with topic 0", 32)))
