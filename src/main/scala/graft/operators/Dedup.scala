@@ -103,23 +103,43 @@ object Dedup {
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingle: Int = 5, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    val sigs = signatures(df, idCol, textCol, numHashes, shingle)
+    // Collapse EXACT duplicates first (hash groupBy): identical texts share
+    // every band hash, so a group of N exact dups would otherwise blow the
+    // band self-join up by N² — the dominant skew hazard on boilerplate-heavy
+    // corpora. The rep of each text group (min id) is also the min over the
+    // whole group, so mapping members back through their rep yields exactly
+    // the clustering the naive form would produce.
+    val withSha = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__text"), sha2(coalesce(col(textCol), lit("")), 256).as("__sha"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = withSha.groupBy("__sha").agg(min(col("id")).as("rep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repDocs = withSha.join(reps,
+      withSha("id") === reps("rep_id") && withSha("__sha") === reps("__sha"))
+      .select(col("rep_id").as("doc_id"), col("__text").as("text"))
+
+    val sigs = signatures(repDocs, "doc_id", "text", numHashes, shingle)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = minhashPairs(sigs, numHashes, bands, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The CC fixpoint only needs the nodes that are IN a near-dup pair —
-    // a tiny graph on real corpora. Singletons (the overwhelming majority at
-    // scale) map to themselves with one anti-join instead of riding every
-    // fixpoint round as self-edges.
+    // The CC fixpoint only needs the reps that are IN a near-dup pair —
+    // a tiny graph on real corpora. Singleton reps (the overwhelming
+    // majority at scale) map to themselves with one anti-join instead of
+    // riding every fixpoint round as self-edges.
     val pairEdges = pairs
       .select(col("id_a").cast("string").as("u"), col("id_b").cast("string").as("v"))
     val clustered = Resolver.connectedComponents(pairEdges)
-      .select(col("member").cast("long").as("id"), col("rep").cast("long").as("cluster_rep"))
-    val singletons = sigs.select(col("id"))
-      .join(pairs.select(col("id_a").as("id"))
-        .unionByName(pairs.select(col("id_b").as("id"))), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("cluster_rep"))
-    clustered.unionByName(singletons)
+      .select(col("member").cast("long").as("rep_id"), col("rep").cast("long").as("cluster_rep"))
+    val singletonReps = sigs.select(col("id").as("rep_id"))
+      .join(pairs.select(col("id_a").as("rep_id"))
+        .unionByName(pairs.select(col("id_b").as("rep_id"))), Seq("rep_id"), "left_anti")
+      .select(col("rep_id"), col("rep_id").as("cluster_rep"))
+    val repClusters = clustered.unionByName(singletonReps)
+    // map every member through its exact-text rep
+    withSha.select(col("id"), col("__sha"))
+      .join(reps, "__sha")
+      .join(repClusters, "rep_id")
+      .select(col("id"), col("cluster_rep"))
   }
 
   // ---------------- SimHash ----------------

@@ -33,6 +33,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters(3L) != clusters(0L) && clusters(4L) != clusters(0L))
   }
 
+  test("minhash clustering survives a massive exact-duplicate group (skew hazard)") {
+    import spark.implicits._
+    // 3000 identical docs would blow the band self-join up by N^2 without the
+    // exact-dup collapse; with it, LSH sees ONE representative
+    val heavy = (0L until 3000L).map(i => (i, base)) ++ Seq(
+      (9000L, base.replace("lazy", "sleepy")),
+      (9001L, "something else entirely different here " * 5))
+    val t0 = System.nanoTime()
+    val clusters = Dedup.minhashClusters(heavy.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(clusters.size == 3002)
+    assert((0L until 3000L).forall(i => clusters(i) == 0L), "exact dups must share cluster 0")
+    assert(clusters(9000L) == 0L, "near-dup joins the exact-dup cluster via its rep")
+    assert(clusters(9001L) == 9001L)
+    assert(dt < 60, s"skewed clustering too slow: $dt s")
+  }
+
   test("simhash: hamming 0 for identical, banding finds all pairs within maxDist") {
     assert(Dedup.simhash(base) == Dedup.simhash(base))
     val sdocs = Seq(
