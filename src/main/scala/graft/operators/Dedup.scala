@@ -211,6 +211,12 @@ object Dedup {
     * banding: split 64 bits into (maxDist+1) bands; any pair within maxDist
     * must agree exactly on at least one band — so the bucket join has full
     * recall and the hamming check is only run inside buckets.
+    *
+    * Scale note: a PAIR-emitting contract is inherently quadratic in the
+    * size of an exact-duplicate group (N identical texts legitimately form
+    * C(N,2) zero-distance pairs). For cluster-level output on
+    * boilerplate-heavy corpora use [[minhashClusters]], which collapses
+    * exact duplicates before banding.
     */
   def simhashPairs(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1

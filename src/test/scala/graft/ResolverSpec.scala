@@ -47,4 +47,15 @@ class ResolverSpec extends AnyFunSuite {
     // at least one group has >= 3 surfaces => a chain a-b, b-c with no a-c edge
     assert(graft.extract.Gazetteer.companies.exists(_.size >= 3))
   }
+
+  test("pointer jumping: a 200-node chain converges within the round budget") {
+    import spark.implicits._
+    // plain min-label propagation needs O(diameter) = 199 rounds and would
+    // exhaust maxIter=50 (and throw); pointer jumping needs O(log d) ~ 9
+    val edges = (0 until 199).map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("u", "v")
+    val cc = graft.canon.Resolver.connectedComponents(edges)
+    val reps = cc.select("rep").distinct().collect().map(_.getString(0))
+    assert(reps.toSeq == Seq("n000"), reps.mkString(","))
+    assert(cc.count() == 200)
+  }
 }
