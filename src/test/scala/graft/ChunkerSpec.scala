@@ -50,6 +50,32 @@ class ChunkerSpec extends AnyFunSuite {
     cs <- Gen.listOfN(n, Gen.frequency((8, Gen.alphaNumChar), (2, Gen.const(' '))))
   } yield cs.mkString
 
+  test("property: exact mode strides are fixed (start_k = k*(size-overlap))") {
+    // kg_chunks' SQL oracle depends on this closed form
+    val cases = samples(
+      for {
+        t <- textGen
+        s <- Gen.chooseNum(10, 800)
+        o <- Gen.chooseNum(0, 9)
+      } yield (t, s, o),
+      200)
+    cases.foreach { case (text: String, size: Int, ovFrac: Int) =>
+      val overlap = math.min(size - 1, ovFrac * size / 10)
+      val cs = Chunker.split(text, size, overlap, approximate = false)
+      cs.foreach { c =>
+        assert(c.start == c.index * (size - overlap), s"stride broken at ${c.index}")
+        assert(c.end == math.min(c.start + size, text.length))
+        assert(c.text == text.substring(c.start, c.end))
+      }
+      if (text.nonEmpty) {
+        assert(cs.head.start == 0 && cs.last.end == text.length)
+        val expected = if (text.length <= size) 1
+          else 1 + math.ceil((text.length - size).toDouble / (size - overlap)).toInt
+        assert(cs.size == expected, s"len=${text.length} size=$size ov=$overlap got=${cs.size}")
+      } else assert(cs.isEmpty)
+    }
+  }
+
   test("property: coverage and reconstruction for any text/size/overlap") {
     val cases = samples(
       for {
