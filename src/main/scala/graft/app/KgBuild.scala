@@ -27,7 +27,12 @@ object KgBuild {
       relations: DataFrame, // linked (conv_id, turn_idx, subj/pred/obj canon)
       nodes: DataFrame, // NodeRow-shaped
       edges: DataFrame, // EdgeRow-shaped
-      triples: DataFrame // distinct (subj, pred, obj) by canonical name
+      triples: DataFrame, // distinct (subj, pred, obj) by canonical name
+      // Releases the cached intermediates (fused per-conversation pass +
+      // canonical table) once the caller has materialized what it needs.
+      // Library operators must not leak storage into a long-lived session;
+      // spark.catalog.clearCache() remains the blunt fallback.
+      release: () => Unit = () => ()
   )
 
   val SemanticSource = "graft.kg_build.deterministic.v1"
@@ -43,15 +48,16 @@ object KgBuild {
     * exchanges, both over much smaller derived tables. This is the explicit
     * partition-by-conv_id the north_star's skew note calls for — a
     * conversation is the bounded unit of work, so partitions stay balanced at
-    * any scale. Intermediates are persisted (dropped by callers via
-    * spark.catalog.clearCache() when the tables have been consumed).
+    * any scale. Intermediates are persisted; callers drop them via the
+    * returned [[GraphTables.release]] handle once the tables are consumed.
     */
   def buildGraph(turns: DataFrame, cfg: RunConfig): GraphTables = {
     val spark = turns.sparkSession
 
     // ---- fused per-conversation pass: ONE shuffle computes assembly,
     //      chunking, turn->chunk map, checksums, extraction, anaphora ----
-    val arts = ConvStage.artifacts(turns, cfg.profile).toDF()
+    val artsDs = ConvStage.artifacts(turns, cfg.profile)
+    val arts = artsDs.toDF()
 
     val chunksRaw = arts.select(col("conv_id"), explode(col("chunks")).as("c"))
       .select(col("conv_id"), col("c.chunk_uid"), col("c.seq"), col("c.index"),
@@ -76,13 +82,24 @@ object KgBuild {
     // distributed fixpoint still resolves the gazetteer alias chains and the
     // minhash dedup graphs.
     val candMentions = arts.select(explode(col("candidates")).as("m")).select("m.*")
+    val gazCanon = Resolver.canonicalEntities(spark)
     val candCanon = candMentions
       .groupBy(col("norm"))
       .agg(count(lit(1)).as("__n"), min(col("surface")).as("canon_name"))
       .filter(col("__n") >= cfg.minCandidateSupport)
+      // A candidate's NORM can collide with a gazetteer norm even though its
+      // SURFACE escaped the (case-sensitive) gazetteer scanner — e.g. the
+      // all-caps case-variant "GLOBEX INC" normalizes to the dictionary norm
+      // "globex inc". Without this anti-join the union would carry two
+      // canonical rows for one norm and the left link join would fan out:
+      // every mention/relation on that norm links twice (duplicate entity
+      // nodes, doubled provenance). Colliding candidates fold into the
+      // existing gazetteer row simply by being dropped here — the link join
+      // resolves their norm through the gazetteer entry.
+      .join(gazCanon.select(col("norm")), Seq("norm"), "left_anti")
       .select(col("norm"), col("norm").as("canon_norm"), col("canon_name"),
         lit("__Entity__").as("label"))
-    val canonical = Resolver.canonicalEntities(spark)
+    val canonical = gazCanon
       .unionByName(candCanon)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val mentions = gazMentions.unionByName(candMentions)
@@ -204,7 +221,8 @@ object KgBuild {
       .select(col("subj_name").as("subj"), col("pred"), col("obj_name").as("obj"))
       .distinct()
 
-    GraphTables(chunks, turnChecksums, relations, nodes, edges, triples)
+    GraphTables(chunks, turnChecksums, relations, nodes, edges, triples,
+      release = () => { artsDs.unpersist(); canonical.unpersist(); () })
   }
 
   /** Materializing run with manifest-based resume and QA gating.
@@ -268,9 +286,9 @@ object KgBuild {
         .localCheckpoint()
       Materializer.writeWithManifest(nodesOut, outDir, "nodes", cfg, checks,
         dynamicOverwrite = true)
-      nodes.unpersist(); edges.unpersist()
+      nodes.unpersist(); edges.unpersist(); g.release()
     }
-    pending.unpersist()
+    pending.unpersist(); checks.unpersist()
 
     // QA over the full materialized graph, read through the MERGE view:
     //  - nodes merge per id (union of chunk_uids provenance across runs —

@@ -115,6 +115,11 @@ object Resolver {
         col("rep").as("canon_norm"),
         col("canon_name"),
         coalesce(col("label"), lit("__Entity__")).as("label"))
+    // Size contract for this collect: the input is ONLY the static Gazetteer
+    // object (|aliasRows| ≈ 240 rows, fixed at compile time) — data-derived
+    // candidate entities never flow through here (KgBuild keeps candCanon
+    // distributed), so the driver-side materialization is bounded by the
+    // dictionary, not the corpus.
     val rows = resolved.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
       .toSeq

@@ -4,19 +4,23 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Entity linking: bind mention/relation norms to canonical entities via a
-  * SALTED broadcast-hash join against the canonical entity Dataset
+  * SALTED hash join against the canonical entity Dataset
   * (BASELINE.json north_star; reference analog: extraction + resolver binding
   * at ref:pipelines/kg_ingest.yaml:69-77).
   *
-  * Why salt a broadcast join: while the dictionary fits in a broadcast, the
-  * join never shuffles and skew is moot — but the canonical entity table of a
-  * real deployment grows past the broadcast threshold, at which point Catalyst
-  * falls back to a shuffled hash join and hot keys ("Acme Corp" in 10^9
-  * mentions) straggle. Salting the PROBE side with pmod(hash(id), S) and
-  * exploding the BUILD side xS keeps every physical key's row count bounded by
-  * |hot key| / S in that fallback, and is a no-op cost under broadcast. AQE
-  * skew-join splitting (spark.sql.adaptive.skewJoin.enabled) is layered on top
-  * as the runtime safety net.
+  * Join strategy is deliberately NOT hinted. The canonical table is the union
+  * of the static gazetteer closure (tiny) and data-derived candidate entities
+  * (unbounded — it grows with the corpus), so a forced `broadcast()` would
+  * turn "canonical table outgrew the broadcast threshold" into a driver OOM
+  * instead of a graceful fallback. Left unhinted, Catalyst broadcasts while
+  * the build side is provably small (LocalRelation stats / AQE runtime stats)
+  * and falls back to a shuffled join once it isn't — which is exactly when the
+  * salt matters: hot keys ("Acme Corp" in 10^9 mentions) would straggle a
+  * shuffled join. Salting the PROBE side with pmod(hash(id), S) and exploding
+  * the BUILD side xS keeps every physical key's row count bounded by
+  * |hot key| / S in the fallback regime, and is a no-op cost under broadcast.
+  * AQE skew-join splitting (spark.sql.adaptive.skewJoin.enabled) is layered on
+  * top as the runtime safety net.
   */
 object EntityLinker {
 
@@ -42,7 +46,7 @@ object EntityLinker {
         col("label").as("canon_label"))
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     salted
-      .join(broadcast(build),
+      .join(build,
         salted(probeKey) === build("__key") && salted("__salt") === build("__salt"),
         "left")
       .drop("__salt", "__key")

@@ -173,29 +173,55 @@ object Ann {
     scored.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
   }
 
-  /** IVF (inverted-file) ANN: the second scale path next to [[lshTopK]].
-    * Corpus vectors are assigned to their nearest coarse-quantizer cell in
-    * one narrow pass (centroids ride the task closure, the distributed form
-    * of a broadcast); each query probes its nProbe nearest cells; candidates
-    * come from a co-partitioned equi-join on cell id and are reranked
-    * exactly. Recall is tuned by nProbe; the index build is a single narrow
-    * pass + small shuffle, which is what survives 100 TB.
+  /** A built IVF index: the coarse-quantizer centroids (tiny, driver-held,
+    * ride task closures) and the materialized (vec_id, cell) assignment
+    * table. Build once, query many times — the analog of the reference's
+    * provision-once vector index (ref:scripts/create_vector_index.py:334-420).
+    * Call [[IvfIndex.release]] when done to free the cached cell table.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  final case class IvfIndex(centroids: Array[Array[Float]], cells: DataFrame) {
+    def release(): Unit = { cells.unpersist(); () }
+  }
+
+  /** Build the IVF index: train the deterministic k-means quantizer, assign
+    * every corpus vector to its nearest cell in ONE narrow pass, and
+    * materialize the (vec_id, cell) table so repeated query batches pay only
+    * the probe join — the index is never rebuilt per call. At 100 TB the cell
+    * table would be written as a parquet table instead of cached; the shape
+    * (narrow assignment pass + ids-only table) is the same.
+    */
+  def buildIvfIndex(corpus: DataFrame, nCells: Int = 16,
+      iters: Int = 8, sampleN: Int = 2048): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, nCells)
-    val corpusCells = corpus.select(col("vec_id"), col("embedding"))
+    val cents = kmeansCentroids(corpus, nCells, iters, sampleN)
+    val cells = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) => (id, nearestCell(cents, v)) })
       .toDF("vec_id", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count() // materialize the assignment pass once, at build time
+    IvfIndex(cents, cells)
+  }
+
+  /** Query a prebuilt IVF index: each query probes its nProbe nearest cells
+    * (driver-side against the tiny centroid table), candidates come from a
+    * broadcast equi-join on cell id against the materialized assignment
+    * table, and are reranked exactly. Recall is tuned by nProbe.
+    */
+  def ivfQuery(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Size contract for this collect: `queries` is the probe batch, bounded
+    // by the caller (thousands of rows, each dim floats) — never the corpus.
+    // Corpus-side data stays distributed throughout.
     val qRows = queries.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect() // query set is small by contract
+      .as[(Long, Array[Float])].collect()
     val qCells = qRows.toSeq
-      .flatMap { case (qid, v) => probeCells(cents, v, nProbe).map(c => (qid, c)) }
+      .flatMap { case (qid, v) => probeCells(index.centroids, v, nProbe).map(c => (qid, c)) }
       .toDF("query_id", "cell")
-    val cands = corpusCells.join(broadcast(qCells), Seq("cell"))
+    val cands = index.cells.join(broadcast(qCells), Seq("cell"))
       .select("query_id", "vec_id").distinct()
     val scored = cands
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -207,6 +233,18 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** One-shot IVF ANN convenience: build the index, query it, release it.
+    * For repeated query batches hold the [[IvfIndex]] and call [[ivfQuery]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val index = buildIvfIndex(corpus, nCells)
+    // eager materialize (k rows per query) so the index can be released here
+    val out = ivfQuery(index, corpus, queries, k, nProbe).localCheckpoint()
+    index.release()
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs (training-data dedup by embedding):

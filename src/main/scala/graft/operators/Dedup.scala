@@ -114,8 +114,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = withSha.groupBy("__sha").agg(min(col("id")).as("rep_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repDocs = withSha.join(reps,
-      withSha("id") === reps("rep_id") && withSha("__sha") === reps("__sha"))
+    // ids are unique, so `id === rep_id` alone identifies the rep doc of each
+    // sha group (rep_id is min(id) OVER the group — matching sha is implied).
+    // An additional `__sha === __sha` clause would resolve both sides to the
+    // SAME attribute (reps derives from withSha) and degenerate to a
+    // trivially-true predicate; keep intent and executed plan identical.
+    val repDocs = withSha.join(reps, withSha("id") === reps("rep_id"))
       .select(col("rep_id").as("doc_id"), col("__text").as("text"))
 
     val sigs = signatures(repDocs, "doc_id", "text", numHashes, shingle)
@@ -136,10 +140,17 @@ object Dedup {
       .select(col("rep_id"), col("rep_id").as("cluster_rep"))
     val repClusters = clustered.unionByName(singletonReps)
     // map every member through its exact-text rep
-    withSha.select(col("id"), col("__sha"))
+    val result = withSha.select(col("id"), col("__sha"))
       .join(reps, "__sha")
       .join(repClusters, "rep_id")
       .select(col("id"), col("cluster_rep"))
+      // Eagerly materialize (ids-only rows, disk-backed), then RELEASE the
+      // four cached intermediates — a library operator must not leak storage
+      // memory into a long-lived session. localCheckpoint also truncates the
+      // multi-join lineage for downstream consumers.
+      .localCheckpoint()
+    Seq(withSha, reps, sigs, pairs).foreach(_.unpersist())
+    result
   }
 
   // ---------------- SimHash ----------------
@@ -289,7 +300,7 @@ object Dedup {
         least(col("na"), col("nb")).cast("double") >=
           lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
       .select("id_a", "id_b").distinct()
-    pairs
+    val result = pairs
       .join(grams.select(col("id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
       .join(grams.select(col("id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
@@ -298,5 +309,10 @@ object Dedup {
           (size(col("grams_a")) + size(col("grams_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      // eager materialize (surviving pairs only — small), then release the
+      // cached gram table; see minhashClusters for the storage-leak rationale
+      .localCheckpoint()
+    grams.unpersist()
+    result
   }
 }

@@ -142,11 +142,15 @@ object Retrieval {
 
   /** J6: 1-hop semantic expansion of matched chunks — entities mentioned in
     * the chunk plus their semantic relations in BOTH directions, collected
-    * DISTINCT per chunk. The reference traverses the relationship UNDIRECTED:
-    * `(entity)-[rel {semantic_source}]-(target)`
+    * DISTINCT per chunk. The reference traverses the relationship UNDIRECTED
+    * and constrains the FAR endpoint to an entity node:
+    * `(entity)-[rel {semantic_source}]-(target:__Entity__)`
     * (ref:scripts/ask_qdrant.py:259-292; ref:queries/hybrid_retrieval.cypher:6),
-    * and selects relations by their semantic_source property, not by a
-    * hardcoded type list.
+    * selecting relations by their semantic_source property, not by a
+    * hardcoded type list. Both endpoints are therefore semi-joined against
+    * the entity node set here — KgBuild also stamps semantic_source on
+    * chunk→entity INGESTED_BY provenance edges, which must NOT flood the
+    * expansion (their chunk endpoint is not an entity).
     */
   def semanticExpansion(matches: DataFrame, nodes: DataFrame, edges: DataFrame): DataFrame = {
     val entityNodes = nodes
@@ -159,9 +163,12 @@ object Retrieval {
         explode(from_json(col("chunk_uids_json"),
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
           .as("chunk_uid"))
+    val entIds = entityNodes.select(col("ent_id").as("__eid"))
     val semEdges = edges
       .filter(col("props").getItem("semantic_source").isNotNull)
       .select(col("src"), col("rel_type"), col("dst"))
+      .join(entIds, col("src") === col("__eid"), "left_semi")
+      .join(entIds, col("dst") === col("__eid"), "left_semi")
     val anchored = matches.select("chunk_uid").join(entChunks, Seq("chunk_uid"))
     val outgoing = anchored.join(semEdges, col("ent_id") === col("src"), "inner")
     val incoming = anchored.join(semEdges, col("ent_id") === col("dst"), "inner")

@@ -60,6 +60,34 @@ class AskSpec extends AnyFunSuite {
       s"inbound relation missing from expansion: ${rels.mkString(",")}")
   }
 
+  test("semantic expansion excludes provenance edges whose far endpoint is not an entity") {
+    import spark.implicits._
+    // INGESTED_BY provenance edges are stamped with semantic_source too, but
+    // the reference constrains the far endpoint to :__Entity__
+    // (ref:scripts/ask_qdrant.py:262) — a chunk->entity edge must not flood
+    // the expansion output.
+    val nodes = Seq(
+      ("ent:Operator:bot", Seq("Operator", "__Entity__"), "bot",
+        Map("semantic_source" -> "s", "chunk_uids" -> """["c1"]""")),
+      ("ent:Company:acme", Seq("Company", "__Entity__"), "Acme Corp",
+        Map("semantic_source" -> "s", "chunk_uids" -> """["c1"]"""))
+    ).toDF("id", "labels", "name", "props")
+    val edges = Seq(
+      // chunk -> entity provenance edge: src is NOT an entity node
+      ("chunk:c1", "ent:Operator:bot", "INGESTED_BY", Map("semantic_source" -> "s")),
+      // genuine entity-entity semantic relation: must survive
+      ("ent:Company:acme", "ent:Operator:bot", "AUDITED_BY", Map("semantic_source" -> "s"))
+    ).toDF("src", "dst", "rel_type", "props")
+    val matches = Seq("c1").toDF("chunk_uid")
+    val row = graft.operators.Retrieval.semanticExpansion(matches, nodes, edges)
+      .collect().head
+    val rels = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("semantic_relationships"))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rels.contains(("ent:Company:acme", "AUDITED_BY", "ent:Operator:bot")), rels.toString)
+    assert(!rels.exists(_._2 == "INGESTED_BY"),
+      s"provenance edge leaked into semantic expansion: $rels")
+  }
+
   test("batched hybrid matches the single-query path per query") {
     import spark.implicits._
     val texts = Seq(

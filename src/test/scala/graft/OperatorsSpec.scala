@@ -52,6 +52,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dt < 60, s"skewed clustering too slow: $dt s")
   }
 
+  test("dedup operators release their cached intermediates (no storage leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashClusters(docs, "doc_id", "text", threshold = 0.6).collect()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).collect()
+    // the eager localCheckpoint of each RESULT may remain (released on GC);
+    // the five cached INTERMEDIATES (withSha/reps/sigs/pairs/grams) must not
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"dedup operators leaked ${leaked.size} persistent RDDs (expected <=2 result checkpoints)")
+  }
+
   test("simhash: hamming 0 for identical, banding finds all pairs within maxDist") {
     assert(Dedup.simhash(base) == Dedup.simhash(base))
     val sdocs = Seq(
@@ -173,6 +184,22 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Ann.ivfTopK(vecs, q, 5, nCells = 8, nProbe = 3).select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == ivf)
+  }
+
+  test("IVF index build/query split: one index serves repeated query batches, parity with one-shot") {
+    val q1 = vecs.filter(col("vec_id") < 5)
+    val q2 = vecs.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+    val index = Ann.buildIvfIndex(vecs, nCells = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b1 = rows(Ann.ivfQuery(index, vecs, q1, 5, nProbe = 3))
+    val b2 = rows(Ann.ivfQuery(index, vecs, q2, 5, nProbe = 3))
+    // the same index answers both batches; results match the one-shot path
+    val oneShot = rows(Ann.ivfTopK(vecs, vecs.filter(col("vec_id") < 10), 5,
+      nCells = 8, nProbe = 3))
+    assert((b1 ++ b2) == oneShot)
+    index.release()
   }
 
   test("cosine near-dup pairs finds duplicate embeddings") {

@@ -114,6 +114,41 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("case-variant of a dictionary entity folds into the gazetteer row (no duplicate canon)") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    // "GLOBEX INC" escapes the case-sensitive gazetteer scanner but
+    // normalizes to the dictionary norm "globex inc"; recurring, it would
+    // become a data-derived candidate whose norm COLLIDES with the gazetteer
+    // canonical — without the anti-join the link fans out into two entity
+    // nodes for one norm.
+    val t = Seq(
+      ("conv-cv", 0, "user", "We signed the deal with GLOBEX INC today.", Option.empty[String], ts),
+      ("conv-cv", 1, "assistant", "GLOBEX INC confirmed the order.", Option.empty[String], ts)
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val g2 = KgBuild.buildGraph(t, RunConfig(runKey = "kg:casevar", numPartitions = 2))
+    val globexNodes = g2.nodes
+      .filter(array_contains(col("labels"), "__Entity__") && lower(col("name")).contains("globex"))
+      .collect()
+    assert(globexNodes.length == 1, s"expected one Globex node, got ${globexNodes.toSeq}")
+    assert(globexNodes.head.getAs[String]("name") == "Globex",
+      "colliding candidate must resolve to the gazetteer canonical name")
+    g2.release()
+  }
+
+  test("GraphTables.release drops all cached intermediates") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val t = Seq(("conv-r", 0, "user", "Alice founded Acme Corp in 2001.", Option.empty[String], ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val g2 = KgBuild.buildGraph(t, RunConfig(runKey = "kg:rel", numPartitions = 2))
+    g2.edges.count()
+    g2.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"release() leaked persistent RDDs: $leaked")
+  }
+
   test("semantic edges carry chunk_uids + document_checksum, merged on (src,dst,rel_type)") {
     val sem = g.edges.filter(col("props").getItem("document_checksum").isNotNull)
     assert(sem.count() > 0)

@@ -39,6 +39,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("entity-linking falls back to a SHUFFLED join with salted keys when the canonical side outgrows broadcast") {
+    import spark.implicits._
+    // The canonical table unions unbounded data-derived candidates, so the
+    // join must NOT carry an unconditional broadcast hint: disabling the
+    // broadcast thresholds stands in for "canonical side too large" and the
+    // plan must degrade to a shuffled join (the regime the salt exists for),
+    // not force a broadcast.
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+      .filter(_ != null)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val probe = Seq(("m1", "acme corp"), ("m2", "globex")).toDF("mention_id", "norm")
+      val linked = EntityLinker.link(probe, "norm", "mention_id",
+        Resolver.canonicalEntities(spark), 4)
+      linked.count() // let AQE finalize
+      val p = plan(linked)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled join under broadcast-disabled thresholds:\n$p")
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("__salt"), "salted keys must ride the shuffled join")
+      // correctness unchanged in the fallback regime
+      val got = linked.filter(col("canon_norm").isNotNull)
+        .select("norm", "canon_name").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("acme corp" -> "Acme Corp", "globex" -> "Globex"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("per-conversation chunking from pre-partitioned turns adds no extra exchange") {
     val turns = TranscriptGen.table(spark, 5L).toDF()
       .repartition(col("conv_id"))
