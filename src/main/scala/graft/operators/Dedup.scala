@@ -130,8 +130,13 @@ object Dedup {
     // a tiny graph on real corpora. Singleton reps (the overwhelming
     // majority at scale) map to themselves with one anti-join instead of
     // riding every fixpoint round as self-edges.
+    // Ids are ZERO-PADDED for the string-keyed CC so its lexicographic-min
+    // rep IS the numeric min — the operator's contract is "cluster_rep =
+    // lowest doc id in the cluster" (keep-lowest-id dedup; requires
+    // non-negative ids, like every id column in this engine).
+    val pad = (c: org.apache.spark.sql.Column) => format_string("%020d", c)
     val pairEdges = pairs
-      .select(col("id_a").cast("string").as("u"), col("id_b").cast("string").as("v"))
+      .select(pad(col("id_a")).as("u"), pad(col("id_b")).as("v"))
     val clustered = Resolver.connectedComponents(pairEdges)
       .select(col("member").cast("long").as("rep_id"), col("rep").cast("long").as("cluster_rep"))
     val singletonReps = sigs.select(col("id").as("rep_id"))

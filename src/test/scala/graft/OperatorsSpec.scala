@@ -52,6 +52,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dt < 60, s"skewed clustering too slow: $dt s")
   }
 
+  test("minhash cluster rep is the NUMERIC min doc id (not lexicographic)") {
+    import spark.implicits._
+    // ids straddling a digit-count boundary: lexicographic min of {45, 100}
+    // would be "100" — the contract is the numeric min, 45
+    val d = Seq((45L, base), (100L, base + " tail"), (7L, "different thing entirely " * 5))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.minhashClusters(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(45L) == 45L && clusters(100L) == 45L, clusters.toString)
+    assert(clusters(7L) == 7L)
+  }
+
   test("dedup operators release their cached intermediates (no storage leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashClusters(docs, "doc_id", "text", threshold = 0.6).collect()
