@@ -31,4 +31,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fills, the JIT shuts off, and hot loops fall back to the interpreter
   // (observed: 6s -> 57s swings on identical jobs)
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)

@@ -23,7 +23,13 @@ object Bench {
 
   def buildSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus)
+    // One task per core (overridable): conversations are iid and each
+    // partition holds hundreds of thousands of them, so partitions are
+    // balanced by the law of large numbers and finer tasks only add
+    // scheduling + cache-locality overhead (measured: 4x partitions made the
+    // 200k-conv build 27% slower at local[8]).
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // small bench parquet files otherwise land in ONE scan partition and
@@ -36,16 +42,20 @@ object Bench {
 
   /** One end-to-end KG build; returns (turns, relationInstances, seconds). */
   def kgBuildOnce(spark: SparkSession, numConvs: Long): (Long, Long, Double) = {
+    import org.apache.spark.sql.functions._
     val turns = TranscriptGen.table(spark, numConvs).toDF()
     val t0 = System.nanoTime()
     val g = KgBuild.buildGraph(turns, RunConfig(runKey = s"kg-build:bench-$numConvs"))
     // force the full DAG: edges covers chunk+extract+link+canon+assembly
-    val nEdges = g.edges.count()
+    // (kept as two actions for cross-round comparability; a fused
+    // single-action variant measured no reliable win)
+    g.edges.count()
     val nTriples = g.relations.count()
     val dt = (System.nanoTime() - t0) / 1e9
     val nTurns = turns.count()
-    // buildGraph persists intermediates (extracted mentions); drop them so
-    // repeated builds in one JVM don't accumulate cache and thrash GC
+    // drop the build's cached intermediates so repeated builds in one JVM
+    // don't accumulate cache and thrash GC
+    g.release()
     spark.catalog.clearCache()
     (nTurns, nTriples, dt)
   }
@@ -58,13 +68,20 @@ object Bench {
 
     // Headline throughput measures a 10x-size build: at the query-suite size
     // (2k convs at sf0.1) a warm build is ~2 s of work and fixed per-job
-    // overhead dominates the ratio. Two warm-ups per the measurement
-    // methodology in BASELINE.md (JIT needs >1 pass on the extraction loop).
+    // overhead dominates the ratio. Two warm-ups (JIT needs >1 pass on the
+    // extraction loop), then the MEDIAN of three measured runs — and all
+    // per-run times are emitted, so a host-contention-degraded run is
+    // self-evident in the artifact instead of silently becoming the headline
+    // (BENCH_r02's single measured run recorded 127.6 s for a build the
+    // repo's ScalingBench does 10x more of in 18.9 s).
     val numConvs = convsForSf(sfDir)
     val headlineConvs = numConvs * 10
-    kgBuildOnce(spark, math.max(headlineConvs / 4, 10L))
-    kgBuildOnce(spark, headlineConvs)
-    val (nTurns, nTriples, kgSec) = kgBuildOnce(spark, headlineConvs)
+    val warmups = Seq(math.max(headlineConvs / 4, 10L), headlineConvs)
+      .map(n => kgBuildOnce(spark, n)._3)
+    val measured = (1 to 3).map(_ => kgBuildOnce(spark, headlineConvs))
+    val runSecs = measured.map(_._3)
+    val kgSec = runSecs.sorted.apply(runSecs.size / 2) // median
+    val (nTurns, nTriples, _) = measured.head
     val triplesPerSec = nTriples / kgSec
 
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -78,8 +95,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum + kgSec
+    val warmJson = warmups.mkString("[", ",", "]")
+    val runsJson = runSecs.mkString("[", ",", "]")
     println(
-      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize)","value":$triplesPerSec,"unit":"triples/sec","total_sec":$total,"kg_turns":$nTurns,"kg_triples":$nTriples,"kg_convs":$headlineConvs,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize)","value":$triplesPerSec,"unit":"triples/sec","total_sec":$total,"kg_turns":$nTurns,"kg_triples":$nTriples,"kg_convs":$headlineConvs,"kg_warmup_sec":$warmJson,"kg_run_sec":$runsJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,21 +102,32 @@ object KgBuild {
     val canonical = gazCanon
       .unionByName(candCanon)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-gate the linker's broadcast with an EXACT bound, not a hint-forced
+    // guess: this count() doubles as the materialization of the persisted
+    // canonical table (it feeds three link joins, so the scan is not wasted
+    // work) and decides broadcast vs shuffled-salted join. The canonical side
+    // is unbounded (it unions data-derived candidates), so an unconditional
+    // broadcast hint would be an OOM at corpus scale — see EntityLinker's
+    // scaladoc for the two regimes.
+    val broadcastCanonical = canonical.count() <= cfg.broadcastCanonicalLimit
     val mentions = gazMentions.unionByName(candMentions)
 
     // ---- link ----
     val linkedMentions = EntityLinker
-      .link(mentions, "norm", "mention_id", canonical, cfg.saltBuckets)
+      .link(mentions, "norm", "mention_id", canonical, cfg.saltBuckets,
+        broadcastBuild = broadcastCanonical)
       .filter(col("canon_norm").isNotNull)
     val relsWithId = relCands.withColumn("rel_id",
       xxhash64(col("conv_id"), col("turn_idx"), col("subj_norm"), col("pred"), col("obj_norm")))
     val subjLinked = EntityLinker
-      .link(relsWithId, "subj_norm", "rel_id", canonical, cfg.saltBuckets)
+      .link(relsWithId, "subj_norm", "rel_id", canonical, cfg.saltBuckets,
+        broadcastBuild = broadcastCanonical)
       .withColumnRenamed("canon_norm", "subj_canon_norm")
       .withColumnRenamed("canon_name", "subj_name")
       .withColumnRenamed("canon_label", "subj_label")
     val relations = EntityLinker
-      .link(subjLinked, "obj_norm", "rel_id", canonical, cfg.saltBuckets)
+      .link(subjLinked, "obj_norm", "rel_id", canonical, cfg.saltBuckets,
+        broadcastBuild = broadcastCanonical)
       .withColumnRenamed("canon_norm", "obj_canon_norm")
       .withColumnRenamed("canon_name", "obj_name")
       .withColumnRenamed("canon_label", "obj_label")

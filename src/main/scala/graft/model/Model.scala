@@ -136,5 +136,12 @@ final case class RunConfig(
     minCandidateSupport: Int = 2,
     // git SHA stamped into semantic node/edge props + run log when present
     // (F9 provenance, ref:src/fancyrag/kg/pipeline.py:471-487)
-    gitCommit: Option[String] = None
+    gitCommit: Option[String] = None,
+    // Entity-link broadcast gate: canonical rows at/below this bound are
+    // broadcast (the probe side never shuffles); above it the link degrades
+    // to a shuffled join with salted keys instead of a forced-broadcast OOM.
+    // The broadcast build side carries saltBuckets x this many rows (~80 B
+    // each): 250k x 8 salt = 2M rows ~ 160 MB, comfortably under Spark's
+    // 8 GB broadcast hard limit and executor memory at 1000-executor scale.
+    broadcastCanonicalLimit: Long = 250000
 )

@@ -149,6 +149,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"release() leaked persistent RDDs: $leaked")
   }
 
+  test("shuffled-link fallback (broadcastCanonicalLimit=0) builds an identical graph") {
+    // The broadcast gate must be a pure physical-plan decision: tripping it
+    // (limit 0 forces the shuffled-salted regime for every link join) may not
+    // change a single output row vs the broadcast build above.
+    val g2 = KgBuild.buildGraph(turns,
+      cfg.copy(runKey = cfg.runKey, broadcastCanonicalLimit = 0L))
+    // map<..> columns can't ride set ops; canonicalize to sorted entry arrays
+    def cmp(df: org.apache.spark.sql.DataFrame) = df.columns.foldLeft(df) {
+      case (d, c) if d.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        d.withColumn(c, array_sort(map_entries(col(c))))
+      case (d, _) => d
+    }
+    try {
+      val (n1, n2) = (cmp(g.nodes), cmp(g2.nodes))
+      val (e1, e2) = (cmp(g.edges), cmp(g2.edges))
+      assert(n2.exceptAll(n1).isEmpty && n1.exceptAll(n2).isEmpty,
+        "node sets diverge between broadcast and shuffled link regimes")
+      assert(e2.exceptAll(e1).isEmpty && e1.exceptAll(e2).isEmpty,
+        "edge sets diverge between broadcast and shuffled link regimes")
+    } finally g2.release()
+  }
+
   test("semantic edges carry chunk_uids + document_checksum, merged on (src,dst,rel_type)") {
     val sem = g.edges.filter(col("props").getItem("document_checksum").isNotNull)
     assert(sem.count() > 0)

@@ -42,10 +42,12 @@ class PlanSpec extends AnyFunSuite {
   test("entity-linking falls back to a SHUFFLED join with salted keys when the canonical side outgrows broadcast") {
     import spark.implicits._
     // The canonical table unions unbounded data-derived candidates, so the
-    // join must NOT carry an unconditional broadcast hint: disabling the
-    // broadcast thresholds stands in for "canonical side too large" and the
-    // plan must degrade to a shuffled join (the regime the salt exists for),
-    // not force a broadcast.
+    // caller size-gates the broadcast (KgBuild counts the canonical table
+    // against RunConfig.broadcastCanonicalLimit). This test is the
+    // over-the-limit regime: broadcastBuild = false, and the auto-broadcast
+    // thresholds are ALSO disabled so Catalyst can't silently re-broadcast
+    // the small test fixture — the plan must degrade to a shuffled join (the
+    // regime the salt exists for), not force a broadcast.
     val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val prevAqe = scala.util.Try(
       spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
@@ -55,7 +57,7 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       val probe = Seq(("m1", "acme corp"), ("m2", "globex")).toDF("mention_id", "norm")
       val linked = EntityLinker.link(probe, "norm", "mention_id",
-        Resolver.canonicalEntities(spark), 4)
+        Resolver.canonicalEntities(spark), 4, broadcastBuild = false)
       linked.count() // let AQE finalize
       val p = plan(linked)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
