@@ -60,6 +60,27 @@ object Bench {
     (nTurns, nTriples, dt)
   }
 
+  /** Warm up until the full-size build time STABILIZES (two consecutive
+    * full-size builds within 15%), capped at maxWarmups builds total.
+    * A fixed warm-up count is not enough: whole-stage-codegen classes keep
+    * C2-compiling across the first several builds (DebugBench measured
+    * jitTotal still climbing 146→162 s across builds 2..5 at 200k convs,
+    * with wall time 46→17 s), so an early "measured" run is really still a
+    * warm-up. Returns all warm-up times for emission in the bench artifact.
+    */
+  def warmUntilStable(spark: SparkSession, numConvs: Long, maxWarmups: Int = 6): Seq[Double] = {
+    val ts = scala.collection.mutable.ArrayBuffer[Double]()
+    ts += kgBuildOnce(spark, math.max(numConvs / 4, 10L))._3 // cold-start pass, quarter size
+    var prev = Double.NaN
+    while (ts.size < maxWarmups) {
+      val t = kgBuildOnce(spark, numConvs)._3
+      ts += t
+      if (!prev.isNaN && math.abs(t - prev) / math.min(t, prev) < 0.15) return ts.toSeq
+      prev = t
+    }
+    ts.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,16 +89,15 @@ object Bench {
 
     // Headline throughput measures a 10x-size build: at the query-suite size
     // (2k convs at sf0.1) a warm build is ~2 s of work and fixed per-job
-    // overhead dominates the ratio. Two warm-ups (JIT needs >1 pass on the
-    // extraction loop), then the MEDIAN of three measured runs — and all
-    // per-run times are emitted, so a host-contention-degraded run is
-    // self-evident in the artifact instead of silently becoming the headline
-    // (BENCH_r02's single measured run recorded 127.6 s for a build the
-    // repo's ScalingBench does 10x more of in 18.9 s).
+    // overhead dominates the ratio. Adaptive warm-up (see warmUntilStable),
+    // then the MEDIAN of three measured runs — and all per-run times are
+    // emitted, so a host-contention-degraded run is self-evident in the
+    // artifact instead of silently becoming the headline (BENCH_r02's single
+    // measured run recorded 127.6 s for a build the repo's ScalingBench does
+    // 10x more of in 18.9 s).
     val numConvs = convsForSf(sfDir)
     val headlineConvs = numConvs * 10
-    val warmups = Seq(math.max(headlineConvs / 4, 10L), headlineConvs)
-      .map(n => kgBuildOnce(spark, n)._3)
+    val warmups = warmUntilStable(spark, headlineConvs)
     val measured = (1 to 3).map(_ => kgBuildOnce(spark, headlineConvs))
     val runSecs = measured.map(_._3)
     val kgSec = runSecs.sorted.apply(runSecs.size / 2) // median

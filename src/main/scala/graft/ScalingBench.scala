@@ -26,16 +26,16 @@ object ScalingBench {
 
     val spark = Bench.buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    // two warm-up builds: C2-compiling the gazetteer-regex hot loop takes
-    // more than one pass (interpreted extraction is ~12x slower than JITted)
-    Bench.kgBuildOnce(spark, numConvs)
-    Bench.kgBuildOnce(spark, numConvs)
+    // Adaptive warm-up (Bench.warmUntilStable): C2-compiling the codegen'd
+    // build takes SEVERAL passes, not two — measure only once consecutive
+    // full-size builds agree within 15%.
+    val warmups = Bench.warmUntilStable(spark, numConvs)
     val runs = (1 to 3).map(_ => Bench.kgBuildOnce(spark, numConvs))
     val secs = runs.map(_._3).sorted
     val median = secs(1)
     val (nTurns, nTriples, _) = runs.head
     spark.stop()
     println(
-      s"""{"metric":"kg build seconds at local[$cpus]","value":$median,"unit":"sec","runs":[${secs.mkString(",")}],"throughput":${nTriples / median},"turns":$nTurns,"triples":$nTriples,"convs":$numConvs,"cpus":$cpus,"sf":"$sfDir"}""")
+      s"""{"metric":"kg build seconds at local[$cpus]","value":$median,"unit":"sec","runs":[${secs.mkString(",")}],"warmups":[${warmups.mkString(",")}],"throughput":${nTriples / median},"turns":$nTurns,"triples":$nTriples,"convs":$numConvs,"cpus":$cpus,"sf":"$sfDir"}""")
   }
 }
