@@ -36,6 +36,12 @@ object ContractProbe {
         println(s"[probe] $sf ivf nProbe=$nProbe recalls=${recalls(ivf)} " +
           s"sec=${(System.nanoTime()-t0)/1e9}")
       }
+      for ((mSub, kCw, refine) <- Seq((8, 16, 8), (8, 32, 16), (16, 16, 8), (16, 32, 8), (16, 32, 16))) {
+        val t0 = System.nanoTime()
+        val pq = topSet(Ann.pqTopK(emb, queries, 5, m = mSub, nCodewords = kCw, refine = refine))
+        println(s"[probe] $sf pq m=$mSub k=$kCw refine=$refine recalls=${recalls(pq)} " +
+          s"sec=${(System.nanoTime()-t0)/1e9}")
+      }
       // exact cosine near-dup pair count at threshold 0.2
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))

@@ -310,6 +310,26 @@ object SparkEntry {
           (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_at_5_ge_06"))
         .orderBy("query_id")
     }),
+    // Same contract for PQ (the compressed-domain ANN scale path: 16×5-bit
+    // codes per 64-dim vector, ADC scan + exact rerank), driven through the
+    // build-once/query-many split. Measured min recall 0.8 at sf0.01/sf0.1
+    // with m=16, k=32, refine=8 (ContractProbe); contract at 0.6 for margin.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 8)
+      val index = Ann.buildPqIndex(emb, m = 16, k = 32)
+      val pq = Ann.pqQuery(index, emb, queries, 5, refine = 8)
+        .select("query_id", "vec_id").localCheckpoint()
+      index.release()
+      val brute = Ann.bruteForceTopK(emb, queries, 5).select("query_id", "vec_id")
+      val hits = pq.join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_at_5_ge_06"))
+        .orderBy("query_id")
+    }),
     // The LSH-found pair set is engine-specific, but two things are not:
     // the EXACT count of all pairs at the threshold (cross-engine all-pairs
     // cosine — a genuine large-scale verification of the cosine kernel), and
@@ -611,6 +631,9 @@ object SparkEntry {
         """SELECT vec_id AS query_id, TRUE AS recall_at_5_ge_06
           |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
       "q_ann_ivf" ->
+        """SELECT vec_id AS query_id, TRUE AS recall_at_5_ge_06
+          |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+      "q_ann_pq" ->
         """SELECT vec_id AS query_id, TRUE AS recall_at_5_ge_06
           |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
       // Cross-engine ALL-PAIRS cosine count at the threshold (the exact set),

@@ -247,6 +247,184 @@ object Ann {
     out
   }
 
+  // ---------------- Product quantization (PQ) ----------------
+
+  /** A trained product quantizer: per-subspace codebooks (m × k × dim/m —
+    * tiny, driver-held, ride task closures) and the materialized
+    * (vec_id, code) table with code = m small ints. Build once, query many
+    * times. This is the memory-scale path for ANN at 100 TB: the resident
+    * working set is m log2(k)-bit codes per vector (64-dim float vectors:
+    * 256 B → 4 B at m=8, k=16) scanned in the compressed domain; raw
+    * embeddings are touched only to exact-rerank the tiny refined candidate
+    * set. Call [[PqIndex.release]] when done to free the cached codes table.
+    */
+  final case class PqIndex(codebooks: Array[Array[Array[Float]]], codes: DataFrame) {
+    def release(): Unit = { codes.unpersist(); () }
+  }
+
+  /** Deterministic per-subspace k-means (Lloyd, L2 on subvectors, stride
+    * init over the vec_id-ordered sample, lowest-index tie-break) — same
+    * bounded-sample training contract as [[kmeansCentroids]]: the sample is
+    * a driver-side collect bounded by sampleN, never the corpus.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int,
+      iters: Int = 8, sampleN: Int = 2048): Array[Array[Array[Float]]] = {
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val vs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cents = Array.tabulate(k)(i => vs(((i.toLong * vs.length) / k).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        vs.foreach { v =>
+          val c = nearestCodeword(cents, v)
+          counts(c) += 1
+          var j = 0
+          while (j < sub) { sums(c)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(j => (sums(c)(j) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Index of the L2-nearest codeword (lowest index wins ties). */
+  private def nearestCodeword(cents: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cw = cents(c)
+      var d = 0.0
+      var j = 0
+      while (j < cw.length) { val t = cw(j).toDouble - v(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Build the PQ index: train the codebooks on the bounded sample, encode
+    * every corpus vector in ONE narrow pass (m nearest-codeword searches per
+    * vector), materialize the (vec_id, code) table. At 100 TB the codes
+    * table would be written as a parquet table of byte arrays; the shape
+    * (narrow encode pass + ids-and-codes-only table) is the same.
+    */
+  def buildPqIndex(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 8, sampleN: Int = 2048): PqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = trainPqCodebooks(corpus, m, k, iters, sampleN)
+    val codes = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val sub = books(0)(0).length
+        it.map { case (id, v) =>
+          (id, Array.tabulate(books.length)(s =>
+            nearestCodeword(books(s), java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))))
+        }
+      }
+      .toDF("vec_id", "code")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count() // materialize the encode pass once, at build time
+    PqIndex(books, codes)
+  }
+
+  /** Query a prebuilt PQ index via asymmetric distance computation (ADC):
+    * per query, a (m × k) dot-product lookup table against the codebooks is
+    * built driver-side; the compressed-domain scan scores every code with m
+    * table adds (cos(q, x̂) via the subspace-orthogonal decomposition
+    * dot(q,x̂) = Σ_s dot(q_s, cw_s), |x̂|² = Σ_s |cw_s|²), the top
+    * k·refine candidates per query survive an ids-only window, and are
+    * exact-reranked against the raw embeddings. Recall tunes with refine
+    * (and codebook size k at build time).
+    */
+  def pqQuery(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int, refine: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = index.codebooks
+    val m = books.length
+    val sub = books(0)(0).length
+    // Query-independent codeword norms (m × k), shared by every query.
+    val normTab = Array.tabulate(m) { s =>
+      books(s).map { cw =>
+        var n = 0.0; var j = 0
+        while (j < cw.length) { n += cw(j).toDouble * cw(j); j += 1 }
+        n
+      }
+    }
+    // Size contract for this collect: `queries` is the probe batch, bounded
+    // by the caller — never the corpus (same contract as ivfQuery).
+    val qTabs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        var qn = 0.0; var j = 0
+        while (j < qv.length) { qn += qv(j).toDouble * qv(j); j += 1 }
+        val dotTab = Array.tabulate(m) { s =>
+          books(s).map { cw =>
+            var d = 0.0; var t = 0
+            while (t < sub) { d += qv(s * sub + t).toDouble * cw(t); t += 1 }
+            d
+          }
+        }
+        (qid, dotTab, math.sqrt(qn))
+      }
+    val bc = spark.sparkContext.broadcast(qTabs)
+    val approx = index.codes.as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (vid, code) =>
+          qs.iterator.map { case (qid, dotTab, qNorm) =>
+            var d = 0.0; var n2 = 0.0; var s = 0
+            while (s < code.length) {
+              d += dotTab(s)(code(s)); n2 += normTab(s)(code(s)); s += 1
+            }
+            val score = if (qNorm == 0.0 || n2 == 0.0) -2.0 else d / (qNorm * math.sqrt(n2))
+            (qid, vid, score)
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "approx")
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vec_id"))
+    val cands = approx.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= k * refine)
+      .select("query_id", "vec_id")
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("score", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** One-shot PQ ANN convenience: build, query, release. For repeated query
+    * batches hold the [[PqIndex]] and call [[pqQuery]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, nCodewords: Int = 16, refine: Int = 4): DataFrame = {
+    val index = buildPqIndex(corpus, m, nCodewords)
+    val out = pqQuery(index, corpus, queries, k, refine).localCheckpoint()
+    index.release()
+    out
+  }
+
   /** Embedding-cosine near-duplicate pairs (training-data dedup by embedding):
     * ids-only LSH-bucketed self-join, embeddings re-attached per candidate
     * pair, exact cosine verify at threshold.

@@ -214,6 +214,28 @@ class OperatorsSpec extends AnyFunSuite {
     index.release()
   }
 
+  test("PQ ANN: recall@5 vs brute force is high; deterministic; split parity") {
+    val q = vecs.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(vecs, q, 5).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = rows(Ann.pqTopK(vecs, q, 5, m = 8, nCodewords = 8, refine = 4))
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    // determinism: same sample -> same codebooks -> same result
+    val again = rows(Ann.pqTopK(vecs, q, 5, m = 8, nCodewords = 8, refine = 4))
+    assert(again == pq)
+    // build/query split: one index serves repeated batches, parity w/ one-shot
+    val index = Ann.buildPqIndex(vecs, m = 8, k = 8)
+    val b1 = rows(Ann.pqQuery(index, vecs, q.filter(col("vec_id") < 5), 5, refine = 4))
+    val b2 = rows(Ann.pqQuery(index, vecs,
+      q.filter(col("vec_id") >= 5), 5, refine = 4))
+    assert((b1 ++ b2) == pq)
+    index.release()
+  }
+
   test("cosine near-dup pairs finds duplicate embeddings") {
     val withDup = vecs.union(Seq((99L,
       graft.functions.Embeddings.embed("document number 0 with topic 0", 32)))
