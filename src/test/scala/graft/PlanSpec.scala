@@ -113,6 +113,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("PQ ANN: no cartesian; rerank joins broadcast the query side") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val index = graft.operators.Ann.buildPqIndex(emb, m = 16, k = 32)
+    try {
+      val p = plan(graft.operators.Ann.pqQuery(index, emb,
+        emb.filter(col("vec_id") < 4), 5, refine = 8))
+      // compressed-domain scan is a narrow mapPartitions over the codes
+      // table; the only joins are the exact-rerank attach (embeddings by id)
+      // and the broadcast of the tiny query batch
+      assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    } finally index.release()
+  }
+
   test("derived-turn queries prune the documents scan to (doc_id, text)") {
     val p = plan(graft.source.TranscriptDeriver.turns(spark, sf))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
