@@ -64,6 +64,42 @@ object StreamingKg {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(extractRelations)
   }
 
+  final case class DocRow(doc_id: Long, text: String)
+  final case class SeenDoc(firstId: Long)
+
+  /** Streaming exact dedup for continuous training-data ingest: emits only
+    * the FIRST document seen per content checksum, across micro-batches.
+    * Within a micro-batch the lowest doc_id wins (same keep-lowest-id
+    * contract as the batch operator, Dedup.exactDedup); once a checksum has
+    * emitted, later arrivals are dropped forever.
+    *
+    * Scale shape: state is keyed by sha-256 of the text and holds ONE long
+    * per distinct document ever seen — the streaming analog of the batch
+    * hash-groupBy, with the state store (RocksDB in production) playing the
+    * role of the shuffle. Near-dup (minhash) dedup is deliberately NOT
+    * offered as a streaming operator: its candidate join needs all prior
+    * band buckets, which is a batch join against the accumulated corpus,
+    * not per-key state.
+    */
+  def dedupFirstSeen(sha: String, rows: Iterator[DocRow],
+      state: GroupState[SeenDoc]): Iterator[DocRow] = {
+    if (state.exists || !rows.hasNext) Iterator.empty
+    else {
+      val first = rows.minBy(_.doc_id)
+      state.update(SeenDoc(first.doc_id))
+      Iterator.single(first)
+    }
+  }
+
+  /** Streaming face of exact dedup over a (doc_id, text) stream. */
+  def dedupStream(docs: Dataset[DocRow]): Dataset[DocRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(d => graft.util.Determinism.sha256(if (d.text == null) "" else d.text))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(dedupFirstSeen)
+  }
+
   /** Watermarked tumbling-window mention counts — the windowed-aggregation
     * shape (late data beyond 10 minutes dropped).
     */

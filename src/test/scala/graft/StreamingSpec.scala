@@ -64,6 +64,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming exact dedup: first-seen wins within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingKg.DocRow]
+    val query = StreamingKg.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: in-batch duplicate (7 vs 3 -> 3 wins) + a unique doc
+      input.addData(
+        StreamingKg.DocRow(7L, "alpha text"),
+        StreamingKg.DocRow(3L, "alpha text"),
+        StreamingKg.DocRow(5L, "beta text"))
+      query.processAllAvailable()
+      // batch 2: cross-batch duplicate of both + one new doc
+      input.addData(
+        StreamingKg.DocRow(1L, "alpha text"), // later arrival loses to state
+        StreamingKg.DocRow(9L, "beta text"),
+        StreamingKg.DocRow(8L, "gamma text"))
+      query.processAllAvailable()
+      val rows = spark.table("dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((3L, "alpha text"), (5L, "beta text"), (8L, "gamma text")),
+        s"got $rows")
+    } finally query.stop()
+  }
+
   test("watermarked windowed mention counts run end-to-end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
