@@ -34,8 +34,58 @@ object Resolver {
     * @return DataFrame(member, rep) covering every node that appears in any
     *         edge; rep = lexicographic min of the component.
     */
+  /** Edge bound under which the closure runs driver-side. A CC fixpoint
+    * round costs several eager jobs (two joins + checkpoint + convergence
+    * count), so on small graphs the distributed path is pure fixed overhead
+    * — measured ~2-4 s per minhash-dedup call at bench scale for graphs of
+    * a few hundred edges. 200k string edges is ~tens of MB on the driver;
+    * the result is identical either way (the member→min-of-component map is
+    * unique), which OperatorsSpec/ResolverSpec and the WITH RECURSIVE
+    * oracle pin cross-path.
+    */
+  private val DriverCcMaxEdges = 200000
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
+    val e = edges.toDF("u", "v")
+    // SMALL-GRAPH FAST PATH: one bounded collect decides; if the graph
+    // exceeds the bound the distributed fixpoint recomputes `e` (callers
+    // feeding large graphs — minhashClusters — hand us an already-persisted
+    // pair table, so the probe scan is cheap).
+    val probe = e.limit(DriverCcMaxEdges + 1).collect()
+    if (probe.length <= DriverCcMaxEdges) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val (u, v) = (row.getString(0), row.getString(1))
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(ru) = rv
+      }
+      val members = parent.keys.toSeq
+      val minOfRoot = scala.collection.mutable.HashMap.empty[String, String]
+      members.foreach { m =>
+        val r = find(m)
+        val cur = minOfRoot.get(r)
+        if (cur.isEmpty || m < cur.get) minOfRoot(r) = m
+      }
+      return members.sorted.map(m => (m, minOfRoot(find(m)))).toDF("member", "rep")
+    }
+    connectedComponentsDistributed(e, maxIter)
+  }
+
+  /** The distributed pointer-jumping fixpoint (package-visible so tests can
+    * pin cross-path equivalence with the driver fast path above).
+    */
+  private[graft] def connectedComponentsDistributed(
+      edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = edges.toDF("u", "v")
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()

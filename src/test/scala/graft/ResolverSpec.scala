@@ -50,12 +50,29 @@ class ResolverSpec extends AnyFunSuite {
 
   test("pointer jumping: a 200-node chain converges within the round budget") {
     import spark.implicits._
-    // plain min-label propagation needs O(diameter) = 199 rounds and would
-    // exhaust maxIter=50 (and throw); pointer jumping needs O(log d) ~ 9
+    // exercises the DISTRIBUTED fixpoint directly (the public entry would
+    // take the driver fast path at this size): plain min-label propagation
+    // needs O(diameter) = 199 rounds and would exhaust maxIter=50 (and
+    // throw); pointer jumping needs O(log d) ~ 9
     val edges = (0 until 199).map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("u", "v")
-    val cc = graft.canon.Resolver.connectedComponents(edges)
+    val cc = graft.canon.Resolver.connectedComponentsDistributed(edges)
     val reps = cc.select("rep").distinct().collect().map(_.getString(0))
     assert(reps.toSeq == Seq("n000"), reps.mkString(","))
     assert(cc.count() == 200)
+  }
+
+  test("driver fast path and distributed fixpoint produce identical components") {
+    import spark.implicits._
+    // mixed shapes: chain, triangle-with-tail, pair, self-loop singleton
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),
+      ("p", "q"), ("q", "r"), ("r", "p"), ("r", "s"),
+      ("x", "y"), ("z", "z")
+    ).toDF("u", "v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fast = toMap(Resolver.connectedComponents(edges)) // takes driver path
+    val dist = toMap(Resolver.connectedComponentsDistributed(edges))
+    assert(fast == dist, s"fast=$fast dist=$dist")
   }
 }
