@@ -25,6 +25,9 @@ object PlanDump {
     dump("kg_build_edges", g.edges)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     dump("lsh_topk", Ann.lshTopK(emb, emb.filter(col("vec_id") < 4), 5))
+    val pqIdx = Ann.buildPqIndex(emb, m = 16, k = 32)
+    dump("pq_query", Ann.pqQuery(pqIdx, emb, emb.filter(col("vec_id") < 4), 5, refine = 8))
+    pqIdx.release()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     dump("ngram_jaccard", Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
     val corpus = docs.join(emb, col("doc_id") === col("vec_id"))

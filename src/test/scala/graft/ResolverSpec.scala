@@ -75,4 +75,20 @@ class ResolverSpec extends AnyFunSuite {
     val dist = toMap(Resolver.connectedComponentsDistributed(edges))
     assert(fast == dist, s"fast=$fast dist=$dist")
   }
+
+  test("cross-path equivalence holds on seeded random graphs") {
+    import spark.implicits._
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      val edges = (0 until n).map { _ =>
+        (f"v${rnd.nextInt(25)}%02d", f"v${rnd.nextInt(25)}%02d")
+      }.toDF("u", "v")
+      val fast = toMap(Resolver.connectedComponents(edges))
+      val dist = toMap(Resolver.connectedComponentsDistributed(edges))
+      assert(fast == dist, s"seed=$seed diverged: fast=$fast dist=$dist")
+    }
+  }
 }
