@@ -4,6 +4,7 @@ import graft.extract.Extractor
 import graft.model.{ChunkProfile, Mention}
 import graft.util.Determinism
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.storage.StorageLevel
 
 /** Fused per-conversation pass: ONE shuffle (groupByKey on conv_id) computes
@@ -118,7 +119,13 @@ object ConvStage {
     val spark = turns.sparkSession
     import spark.implicits._
     turns
-      .select("conv_id", "turn_idx", "text")
+      // null text ≡ empty text, normalized at THIS single boundary: every
+      // per-conversation consumer (assembly, chunker, extractor, checksums)
+      // assumes non-null, and real transcript logs do carry null rows.
+      // QaEvaluator.checksumMismatches applies the same coalesce so the
+      // stored sha256("") round-trips.
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(col("text"), lit("")).as("text"))
       .as[(String, Int, String)]
       .groupByKey(_._1)
       .flatMapGroups { (conv, it) =>

@@ -82,7 +82,10 @@ object QaEvaluator {
     */
   def checksumMismatches(sourceTurns: DataFrame, storedChecksums: DataFrame): DataFrame =
     sourceTurns
-      .select(col("conv_id"), col("turn_idx"), sha2(col("text"), 256).as("expected"))
+      // null ≡ "" — must match ConvStage.artifacts' normalization boundary,
+      // or every null source row would flag as a checksum mismatch
+      .select(col("conv_id"), col("turn_idx"),
+        sha2(coalesce(col("text"), lit("")), 256).as("expected"))
       .join(storedChecksums.select(col("conv_id"), col("turn_idx"), col("checksum").as("stored")),
         Seq("conv_id", "turn_idx"), "inner")
       .filter(coalesce(col("stored"), lit("")) =!= col("expected"))

@@ -42,7 +42,9 @@ object StreamingKg {
     var last = state.getOption.map(_.lastCompanyNorm).filter(_.nonEmpty)
     val out = Seq.newBuilder[StreamedRel]
     sorted.foreach { t =>
-      val e = Extractor.extractTurn(t.conv_id, t.turn_idx, t.text)
+      // null ≡ "" — same normalization boundary as ConvStage.artifacts
+      val e = Extractor.extractTurn(t.conv_id, t.turn_idx,
+        if (t.text == null) "" else t.text)
       val companyHere = e.mentions.filter(_.label == "Company")
         .sortBy(_.begin).lastOption.map(_.norm)
       e.rels.foreach { r =>

@@ -171,6 +171,29 @@ class PipelineSpec extends AnyFunSuite {
     } finally g2.release()
   }
 
+  test("degenerate inputs: empty corpus and null/blank texts build without error") {
+    import spark.implicits._
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    // empty input with the right schema -> empty graph, no crash
+    val empty = spark.emptyDataset[graft.model.Turn].toDF()
+    val ge = KgBuild.buildGraph(empty, RunConfig(runKey = "kg:empty", numPartitions = 2))
+    try {
+      assert(ge.nodes.count() == 0 && ge.edges.count() == 0 && ge.triples.count() == 0)
+    } finally ge.release()
+    // null and blank texts flow through chunking/extraction as no-ops
+    val degen = Seq(
+      ("conv-d", 0, "user", null.asInstanceOf[String], Option.empty[String], ts0),
+      ("conv-d", 1, "assistant", "   ", Option.empty[String], ts0),
+      ("conv-d", 2, "user", "Ada Lovelace founded Globex in 2001.", Option.empty[String], ts0))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val gd = KgBuild.buildGraph(degen, RunConfig(runKey = "kg:degen", numPartitions = 2))
+    try {
+      val triples = gd.triples.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(triples == Set(("Ada Lovelace", "FOUNDED", "Globex")), triples.toString)
+    } finally gd.release()
+  }
+
   test("semantic edges carry chunk_uids + document_checksum, merged on (src,dst,rel_type)") {
     val sem = g.edges.filter(col("props").getItem("document_checksum").isNotNull)
     assert(sem.count() > 0)
