@@ -5,7 +5,7 @@ import graft.canon.Resolver
 import graft.chunk.ChunkStage
 import graft.extract.Extractor
 import graft.model.{ChunkProfile, RunConfig}
-import graft.operators.{Ann, Dedup, Multimodal, Retrieval, TextAnalysis}
+import graft.operators.{Ann, Dedup, Multimodal, Retrieval, Sampling, TextAnalysis}
 import graft.source.{TranscriptDeriver, TranscriptGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -350,6 +350,13 @@ object SparkEntry {
         .select(col("n_exact_pairs"), col("n_emitted_outside_exact"),
           (col("n_emitted_outside_exact") === 0).as("emitted_subset_ok"))
     }),
+    // Deterministic train/val/test split (md5 oracle variant; the xxhash64
+    // scale path is sbt-tested for partition/ordering invariance) — every
+    // per-row assignment value-exact cross-engine.
+    "q_train_split" -> ((s, d) =>
+      Sampling.withSplitMd5(docs(s, d), "doc_id")
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.withLangId(docs(s, d), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
@@ -636,6 +643,23 @@ object SparkEntry {
       "q_ann_pq" ->
         """SELECT vec_id AS query_id, TRUE AS recall_at_5_ge_06
           |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+      // u = first 8 hex chars of md5(id) as a 32-bit int (nibble-parsed, the
+      // simhash trick); thresholds = round(cum_fraction * 2^32), mirrored
+      // exactly from Sampling.assignment
+      "q_train_split" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |         CAST(list_sum(list_transform(range(1, 9),
+          |           i -> (strpos('0123456789abcdef',
+          |                   substr(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+          |                          CAST(i AS INT), 1)) - 1)
+          |                * power(16, 8 - i))) AS BIGINT) AS u
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CASE WHEN u < 3435973837 THEN 'train'
+          |            WHEN u < 3865470566 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM h ORDER BY doc_id""".stripMargin,
       // Cross-engine ALL-PAIRS cosine count at the threshold (the exact set),
       // plus the operator's precision contract: zero emitted pairs outside it.
       "q_cosine_neardup" ->

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: every row is
+  * assigned to a named split (train/val/test/...) by hashing its ID — stable
+  * under reruns, partition layout, input ordering, and cluster size. This is
+  * what a 100 TB corpus needs instead of `randomSplit`, whose assignment
+  * depends on the seed AND the partition iteration order, so the "same"
+  * split silently changes whenever file layout or parallelism does.
+  *
+  * Two variants (same pattern as SimHash/fingerprint):
+  *  - [[withSplit]]: xxhash64 scale path — codegen'd, no string churn;
+  *  - [[withSplitMd5]]: first 8 hex chars of md5(id) parsed as a 32-bit
+  *    integer — bit-identical cross-engine (DuckDB md5), used by the
+  *    value-exact `q_train_split` oracle.
+  */
+object Sampling {
+
+  private def assignment(u: Column, span: Double, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    // integer thresholds on the hash domain: no float per-row math, and the
+    // split boundary is exactly reproducible in SQL
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cums.map(c => math.round(c * span))
+    fractions.zip(thresholds).dropRight(1)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), t), acc) =>
+        when(u < lit(t), name).otherwise(acc)
+      }
+  }
+
+  /** Scale path: the signed xxhash64(id, seed) value is uniform over the
+    * full long range, so split thresholds are laid out directly on
+    * [Long.Min, Long.Max] (BigDecimal keeps the 2^64 span exact) and the
+    * per-row work is one codegen'd hash + integer compares.
+    */
+  def withSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      seed: Int = 42): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val h = xxhash64(col(idCol), lit(seed))
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    val span = BigDecimal(2).pow(64)
+    val thresholds = cums.map(c =>
+      (BigDecimal(Long.MinValue) + span * BigDecimal(c))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .min(BigDecimal(Long.MaxValue)).toLong)
+    val expr = fractions.zip(thresholds).dropRight(1)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), t), acc) =>
+        when(h < lit(t), name).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Oracle variant: u = first 8 hex chars of md5(CAST(id AS STRING)) as a
+    * 32-bit integer — DuckDB computes the identical value, so per-row
+    * assignments are value-exact cross-engine.
+    */
+  def withSplitMd5(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    df.withColumn("split", assignment(u, math.pow(2, 32), fractions))
+  }
+}

@@ -245,6 +245,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 99L)))
   }
 
+  test("train/val/test split: deterministic, partition-invariant, fraction-accurate") {
+    import graft.operators.Sampling
+    val ids = (0L until 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val one = asMap(Sampling.withSplit(ids.repartition(1), "doc_id"))
+    val seven = asMap(Sampling.withSplit(ids.repartition(7), "doc_id"))
+    assert(one == seven, "assignment must not depend on partition layout")
+    val n = one.size.toDouble
+    val frac = one.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05 &&
+      math.abs(frac("val") - 0.1) < 0.03 && math.abs(frac("test") - 0.1) < 0.03,
+      s"fractions off: $frac")
+    // md5 oracle variant: same invariants, same split names
+    val md5a = asMap(Sampling.withSplitMd5(ids.repartition(3), "doc_id"))
+    val md5b = asMap(Sampling.withSplitMd5(ids.repartition(8), "doc_id"))
+    assert(md5a == md5b)
+    assert(md5a.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("language id picks the stopword-matching language") {
     val df = Seq(
       (1L, "the cat sat on the mat and it was happy for hours"),
