@@ -357,6 +357,24 @@ object SparkEntry {
       Sampling.withSplitMd5(docs(s, d), "doc_id")
         .select("doc_id", "split")
         .orderBy("doc_id")),
+    // Token-budget batch packing (training-data assembly): shard-parallel
+    // window cumsum; batches never split a doc, overfill bounded by one doc.
+    "q_pack_batches" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .cast("long").as("n_tokens"))
+      Sampling.packBatches(toks, "doc_id", "n_tokens", budget = 2000L, numShards = 4)
+        .select("doc_id", "shard", "batch_in_shard")
+        .orderBy("doc_id")
+    }),
+    // Eval-set decontamination (GPT-3 n-gram overlap rule): train docs that
+    // share an 8-gram with the doc_id%10==0 eval slice, per-row exact.
+    "q_decontaminate" -> ((s, d) => {
+      val all = docs(s, d).select(col("doc_id"), col("text"))
+      val evalSet = all.filter(col("doc_id") % 10 === 0)
+      Dedup.ngramContamination(all, evalSet, "doc_id", "text", n = 8)
+        .orderBy("id")
+    }),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.withLangId(docs(s, d), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
@@ -643,6 +661,34 @@ object SparkEntry {
       "q_ann_pq" ->
         """SELECT vec_id AS query_id, TRUE AS recall_at_5_ge_06
           |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+      "q_pack_batches" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+          |         sum(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          |           AS cum_before
+          |  FROM t)
+          |SELECT doc_id, shard,
+          |       CAST(floor(cum_before / 2000.0) AS BIGINT) AS batch_in_shard
+          |FROM c ORDER BY doc_id""".stripMargin,
+      "q_decontaminate" ->
+        """WITH tk AS (
+          |  SELECT doc_id AS id,
+          |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |                     x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT id, list_distinct(list_transform(
+          |        generate_series(0, greatest(len(toks) - 8, 0)),
+          |        i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))) AS grams FROM tk),
+          |tr AS (SELECT id, unnest(grams) AS gram FROM g),
+          |ev AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM g WHERE id % 10 = 0))
+          |SELECT id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
+          |FROM tr JOIN ev USING (gram) GROUP BY id ORDER BY id""".stripMargin,
       // u = first 8 hex chars of md5(id) as a 32-bit int (nibble-parsed, the
       // simhash trick); thresholds = round(cum_fraction * 2^32), mirrored
       // exactly from Sampling.assignment

@@ -272,13 +272,22 @@ object Dedup {
     * EXACT: no pair at threshold can be lost (prefix-filter guarantee), and
     * surviving candidates verify true Jaccard over their FULL gram sets.
     */
+  /** Distinct word n-grams of a text column (lowercased, ws-tokenized);
+    * texts shorter than n tokens yield their single partial gram. Shared by
+    * [[ngramJaccardPairs]] and [[ngramContamination]] (and mirrored
+    * verbatim by their DuckDB oracles).
+    */
+  private def gramArray(textCol: String, n: Int): org.apache.spark.sql.Column = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
     val grams = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))).as("grams"))
+      gramArray(textCol, n).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = grams.select(col("id"), size(col("grams")).as("n_grams"),
       explode(col("grams")).as("gram"))
@@ -319,5 +328,28 @@ object Dedup {
       .localCheckpoint()
     grams.unpersist()
     result
+  }
+
+  /** Eval-set decontamination (the GPT-3 n-gram overlap rule): training
+    * documents that share at least one word n-gram with ANY eval document,
+    * with the count of distinct shared grams as the contamination signal.
+    *
+    * Scale shape: ids+grams-only equi-join on the gram string — the eval
+    * side (benchmarks: thousands of docs) is deliberately unhinted, so AQE
+    * broadcasts its distinct-gram set while it is small and degrades to a
+    * shuffled join if someone passes an eval set that isn't. No text or
+    * gram arrays travel past the explode.
+    */
+  def ngramContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    val trainGrams = train
+      .select(col(idCol).cast("long").as("id"), gramArray(textCol, n).as("grams"))
+      .select(col("id"), explode(col("grams")).as("gram"))
+    val evalGrams = eval
+      .select(gramArray(textCol, n).as("grams"))
+      .select(explode(col("grams")).as("gram")).distinct()
+    trainGrams.join(evalGrams, Seq("gram"))
+      .groupBy("id")
+      .agg(count_distinct(col("gram")).as("n_shared_grams"))
   }
 }

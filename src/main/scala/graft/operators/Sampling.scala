@@ -56,6 +56,30 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Token-budget batch packing for training-data assembly: assign each
+    * document to a (shard, batch_in_shard) bucket such that a new batch
+    * starts once the preceding documents of the shard (in deterministic id
+    * order) have already filled `budget` tokens. Documents are never split,
+    * so a batch overfills by at most one document — the price of keeping
+    * the assignment a pure window cumsum instead of a sequential greedy
+    * loop, which is what makes it deterministic AND parallel.
+    *
+    * Scale shape: the window partitions by shard = pmod(id, numShards), so
+    * there is no single-partition exchange; numShards tunes parallelism
+    * independently of batch size (shards are packed independently).
+    */
+  def packBatches(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, numShards: Int): DataFrame = {
+    require(budget > 0 && numShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+    df.withColumn("shard", pmod(col(idCol).cast("long"), lit(numShards.toLong)))
+      .withColumn("__cum_before",
+        coalesce(sum(col(tokenCol)).over(w) - col(tokenCol), lit(0L)))
+      .withColumn("batch_in_shard", floor(col("__cum_before") / budget).cast("long"))
+      .drop("__cum_before")
+  }
+
   /** Oracle variant: u = first 8 hex chars of md5(CAST(id AS STRING)) as a
     * 32-bit integer — DuckDB computes the identical value, so per-row
     * assignments are value-exact cross-engine.

@@ -266,6 +266,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(md5a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("batch packing: budget boundary starts a new batch, docs never split") {
+    import graft.operators.Sampling
+    // one shard (numShards=1), budget 10: docs of 4+4 fill 8, the 5-token doc
+    // starts after cum_before=8 < 10 (overfill allowed), next starts batch 1
+    val d = Seq((0L, 4L), (1L, 4L), (2L, 5L), (3L, 2L))
+      .toDF("doc_id", "n_tokens")
+    val got = Sampling.packBatches(d, "doc_id", "n_tokens", budget = 10L, numShards = 1)
+      .select("doc_id", "batch_in_shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L), got.toString)
+  }
+
+  test("ngram contamination flags train docs overlapping the eval set") {
+    import graft.operators.Dedup
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark catalyst planning"),
+      (3L, "a quick brown fox jumps over something else entirely"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "the quick brown fox jumps over a fence"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.ngramContamination(train, evalSet, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits.contains(3L) && !hits.contains(2L), hits.toString)
+  }
+
   test("language id picks the stopword-matching language") {
     val df = Seq(
       (1L, "the cat sat on the mat and it was happy for hours"),
