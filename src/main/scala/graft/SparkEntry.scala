@@ -375,6 +375,16 @@ object SparkEntry {
       Dedup.ngramContamination(all, evalSet, "doc_id", "text", n = 8)
         .orderBy("id")
     }),
+    // Boilerplate-line removal over a corpus with an injected universal
+    // footer: the operator must drop exactly the footer (df = |docs|) and
+    // any doc lines duplicated beyond maxDf, per-row exact.
+    "q_boilerplate" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("(c) 2026 example corp - all rights reserved"))
+          .as("text"))
+      TextAnalysis.removeBoilerplateLines(corpus, "doc_id", "text", maxDf = 2)
+        .orderBy("id")
+    }),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.withLangId(docs(s, d), "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
@@ -661,6 +671,23 @@ object SparkEntry {
       "q_ann_pq" ->
         """SELECT vec_id AS query_id, TRUE AS recall_at_5_ge_06
           |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+      "q_boilerplate" ->
+        """WITH ls AS (
+          |  SELECT doc_id AS id,
+          |         string_split(text || chr(10) || '(c) 2026 example corp - all rights reserved',
+          |                      chr(10)) AS lines
+          |  FROM documents),
+          |l AS (SELECT id, unnest(range(1, len(lines) + 1)) AS pos,
+          |             unnest(lines) AS line FROM ls),
+          |d AS (SELECT line, count(DISTINCT id) AS df FROM l GROUP BY 1),
+          |k AS (SELECT l.id, l.pos, l.line FROM l JOIN d USING (line) WHERE d.df <= 2),
+          |a AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+          |             count(*) AS n_kept FROM k GROUP BY id)
+          |SELECT ls.id,
+          |       coalesce(a.clean_text, '') AS clean_text,
+          |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_lines,
+          |       CAST(len(ls.lines) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped_lines
+          |FROM ls LEFT JOIN a USING (id) ORDER BY id""".stripMargin,
       "q_pack_batches" ->
         """WITH t AS (
           |  SELECT doc_id,

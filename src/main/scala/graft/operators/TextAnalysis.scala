@@ -111,6 +111,41 @@ object TextAnalysis {
       when(size(toks) === 0, lit(0L)).otherwise(array_min(windows)))
   }
 
+  /** CCNet-style boilerplate-line removal: drop every LINE whose exact text
+    * occurs in more than maxDf documents across the corpus (headers,
+    * footers, nav chrome dominate crawled corpora; per-doc repeats count
+    * once toward df). Returns (id, clean_text, n_kept_lines,
+    * n_dropped_lines) for EVERY input doc — a doc whose lines are all
+    * boilerplate keeps an empty clean_text rather than vanishing.
+    *
+    * Scale shape: posexplode → line-df groupBy (a vocab-sized aggregate
+    * joined back, the same pattern as the n-gram df — never a window over
+    * the full posting) → reassembly via sort_array(collect_list(struct)).
+    * The df join is unhinted: AQE broadcasts the frequent-line table while
+    * it is small and shuffles when the line vocabulary doesn't fit.
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val lineDf = lines.select("id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("__df"))
+    val kept = lines.join(lineDf, Seq("line")).filter(col("__df") <= maxDf)
+    val rebuilt = kept.groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept_lines"))
+    df.select(col(idCol).as("id"),
+      size(split(col(textCol), "\n", -1)).cast("long").as("__n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        (col("__n_lines") - coalesce(col("n_kept_lines"), lit(0L))).as("n_dropped_lines"))
+  }
+
   /** Same winnowing-lite fingerprint with an md5 window hash (hex-string min)
     * instead of xxhash64: md5 exists in both Spark and DuckDB, so this
     * variant is value-verifiable by the SQL oracle. Prefer [[withFingerprint]]

@@ -292,6 +292,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.contains(1L) && hits.contains(3L) && !hits.contains(2L), hits.toString)
   }
 
+  test("boilerplate removal drops corpus-frequent lines, keeps order, never loses docs") {
+    import graft.operators.TextAnalysis
+    val footer = "all rights reserved"
+    val d = Seq(
+      (1L, s"alpha one\n$footer\nalpha two"),
+      (2L, s"beta line\n$footer"),
+      (3L, s"$footer"), // all-boilerplate doc must survive with empty text
+      (4L, s"gamma a\ngamma b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(d, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha one\nalpha two", 2L, 1L)), got(1L).toString)
+    assert(got(2L) == (("beta line", 1L, 1L)))
+    assert(got(3L) == (("", 0L, 1L)))
+    assert(got(4L) == (("gamma a\ngamma b", 2L, 0L)))
+  }
+
   test("language id picks the stopword-matching language") {
     val df = Seq(
       (1L, "the cat sat on the mat and it was happy for hours"),
