@@ -341,15 +341,27 @@ object Dedup {
     * gram arrays travel past the explode.
     */
   def ngramContamination(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 13): DataFrame = {
+      textCol: String, n: Int = 13, hashGrams: Boolean = false): DataFrame = {
+    // hashGrams = true is the 100 TB path: grams collapse to xxhash64 longs
+    // right after the explode, so the shuffle/join/aggregate carry 8 bytes
+    // instead of ~6n-char strings. A cross-gram hash collision could
+    // overcount by 1 in ~2^-64 — the string form stays the oracle variant
+    // (q_decontaminate), and OperatorsSpec pins the two paths equal.
+    val key: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (hashGrams) g => xxhash64(g) else identity
     val trainGrams = train
       .select(col(idCol).cast("long").as("id"), gramArray(textCol, n).as("grams"))
-      .select(col("id"), explode(col("grams")).as("gram"))
+      .select(col("id"), explode(col("grams")).as("__g"))
+      .select(col("id"), key(col("__g")).as("gram"))
     val evalGrams = eval
       .select(gramArray(textCol, n).as("grams"))
-      .select(explode(col("grams")).as("gram")).distinct()
+      .select(explode(col("grams")).as("__g"))
+      .select(key(col("__g")).as("gram")).distinct()
+    // (id, gram) is unique by construction here — gramArray is per-doc
+    // distinct and the eval side is globally distinct — so a plain count is
+    // the distinct-gram count without the count_distinct expand.
     trainGrams.join(evalGrams, Seq("gram"))
       .groupBy("id")
-      .agg(count_distinct(col("gram")).as("n_shared_grams"))
+      .agg(count(lit(1)).as("n_shared_grams"))
   }
 }

@@ -290,6 +290,11 @@ class OperatorsSpec extends AnyFunSuite {
     val hits = Dedup.ngramContamination(train, evalSet, "doc_id", "text", n = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits.contains(1L) && hits.contains(3L) && !hits.contains(2L), hits.toString)
+    // the hashed scale path counts identically
+    val hashed = Dedup.ngramContamination(train, evalSet, "doc_id", "text",
+      n = 4, hashGrams = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed == hits, s"hashed=$hashed string=$hits")
   }
 
   test("boilerplate removal drops corpus-frequent lines, keeps order, never loses docs") {
