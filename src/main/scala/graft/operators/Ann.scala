@@ -235,6 +235,55 @@ object Ann {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** Persist a built IVF index as two parquet tables (centroids + cell
+    * assignments) — the provision-once analog of the reference's persistent
+    * vector index (ref:scripts/create_vector_index.py:334-420): later JOBS
+    * load and query without retraining or rescanning the corpus.
+    */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.cells.write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val cells = spark.read.parquet(s"$path/cells")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(cents, cells)
+  }
+
+  /** Persist / load a PQ index: codebooks (subspace, code, centroid) +
+    * the (vec_id, code) table. Same provision-once contract as the IVF pair.
+    */
+  def savePqIndex(index: PqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    (for {
+      (book, s) <- index.codebooks.zipWithIndex
+      (cw, c) <- book.zipWithIndex
+    } yield (s, c, cw)).toSeq
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Array[Float])].collect()
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cws) => cws.sortBy(_._2).map(_._3) }.toArray
+    val codes = spark.read.parquet(s"$path/codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(books, codes)
+  }
+
   /** One-shot IVF ANN convenience: build the index, query it, release it.
     * For repeated query batches hold the [[IvfIndex]] and call [[ivfQuery]].
     */

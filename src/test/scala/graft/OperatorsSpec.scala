@@ -236,6 +236,26 @@ class OperatorsSpec extends AnyFunSuite {
     index.release()
   }
 
+  test("IVF and PQ indexes round-trip through parquet with query parity") {
+    val q = vecs.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val ivf = Ann.buildIvfIndex(vecs, nCells = 8)
+    Ann.saveIvfIndex(ivf, s"$dir/ivf")
+    val ivf2 = Ann.loadIvfIndex(spark, s"$dir/ivf")
+    assert(rows(Ann.ivfQuery(ivf2, vecs, q, 5, nProbe = 3)) ==
+      rows(Ann.ivfQuery(ivf, vecs, q, 5, nProbe = 3)))
+    ivf.release(); ivf2.release()
+    val pq = Ann.buildPqIndex(vecs, m = 8, k = 8)
+    Ann.savePqIndex(pq, s"$dir/pq")
+    val pq2 = Ann.loadPqIndex(spark, s"$dir/pq")
+    assert(rows(Ann.pqQuery(pq2, vecs, q, 5, refine = 4)) ==
+      rows(Ann.pqQuery(pq, vecs, q, 5, refine = 4)))
+    pq.release(); pq2.release()
+  }
+
   test("cosine near-dup pairs finds duplicate embeddings") {
     val withDup = vecs.union(Seq((99L,
       graft.functions.Embeddings.embed("document number 0 with topic 0", 32)))
