@@ -36,6 +36,34 @@ class AskSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("HTTP serving face (R6): /health, /ask and /fetch answer over the wire") {
+    val dir = Files.createTempDirectory("graft-askhttp").toString
+    val turns = TranscriptGen.table(spark, 10L).toDF()
+    assert(KgBuild.run(spark, turns,
+      RunConfig(runKey = "kg:askhttp", numPartitions = 2), dir).status == "pass")
+    val server = graft.app.AskServer.start(spark, dir, port = 0)
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      assert(get("/health") == ((200, """{"status":"ok"}""")))
+      val (code, body) = get("/ask?q=Who%20founded%20Acme%20Corp%3F&k=3")
+      assert(code == 200 && body.contains("\"matches\":[{\"chunk_uid\":"), body.take(200))
+      assert(body.contains("\"question\":\"Who founded Acme Corp?\""))
+      val (fc, fb) = get("/fetch?id=ent:Company:acme")
+      assert(fc == 200 && fb.contains("\"name\":\"Acme Corp\""), fb.take(200))
+      assert(get("/ask")._1 == 400)
+    } finally {
+      server.stop(0)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("semantic expansion is undirected: inbound relations surface too") {
     import spark.implicits._
     // e1 is mentioned in chunk c1; the only semantic relation POINTS AT e1.
