@@ -48,7 +48,7 @@ object Materializer {
 
   def mergeUpsert(existing: DataFrame, incoming: DataFrame, idCols: Seq[String]): DataFrame = {
     val tagged = existing.withColumn("__src", lit(0))
-      .unionByName(incoming.select(existing.columns.map(col): _*).withColumn("__src", lit(1)))
+      .unionByName(incoming.select(existing.columns.toIndexedSeq.map(col): _*).withColumn("__src", lit(1)))
     val others = tagged.columns.filter(c => !idCols.contains(c) && c != "__src" && c != "props")
     val hasProps = tagged.columns.contains("props")
     val aggs =
@@ -66,7 +66,7 @@ object Materializer {
             max_by(col("props"), col("__src")), // incoming (or only) row
             (_, v1, v2) => coalesce(v1, v2)).as("props"))
          else Nil)
-    tagged.groupBy(idCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    tagged.groupBy(idCols.map(col): _*).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
   /** n-way read-side MERGE: collapse rows sharing `keyCols` into one row —
@@ -92,7 +92,7 @@ object Materializer {
           .otherwise(least(v1, v2))))
     val aggs = others.map(c => min(col(c)).as(c)) ++
       (if (df.columns.contains("props")) Seq(mergedProps.as("props")) else Nil)
-    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
   /** Write a stage output partitioned by part_id, appending a manifest row per
