@@ -127,6 +127,21 @@ class PlanSpec extends AnyFunSuite {
     } finally index.release()
   }
 
+  test("decontamination and boilerplate plans: equi-joins only, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    Seq(
+      graft.operators.Dedup.ngramContamination(docs, evalSet, "doc_id", "text", n = 8),
+      graft.operators.Dedup.ngramContamination(docs, evalSet, "doc_id", "text",
+        n = 8, hashGrams = true),
+      graft.operators.TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text")
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
   test("derived-turn queries prune the documents scan to (doc_id, text)") {
     val p = plan(graft.source.TranscriptDeriver.turns(spark, sf))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
