@@ -318,37 +318,121 @@ object KgBuild {
     val allChecksums = spark.read.parquet(s"$outDir/turn_checksums")
       .dropDuplicates("conv_id", "turn_idx")
     val qa = QaEvaluator.evaluate(turns, allChecksums, allChunks, allNodes, allEdges, thresholds)
-    if (qa.status == "fail") {
-      import spark.implicits._
-      val bad = Seq(cfg.runKey).toDF("ingest_run_key")
-      Seq("nodes", "edges", "chunks", "turn_checksums").foreach { stage =>
-        rollbackStage(spark, outDir, stage, bad)
-      }
-      // The failed run's _manifest and _metrics rows must go too: a
-      // completion marker matching (part_id, input_checksum) would otherwise
-      // make the retry skip every rolled-back partition and QA would then
-      // "pass" over an empty graph — silent data loss with a false pass.
-      Seq("_manifest", "_metrics").foreach { stage =>
-        rollbackStage(spark, outDir, stage, bad.withColumnRenamed("ingest_run_key", "run_key"),
-          keyCol = "run_key")
-      }
-    }
+    if (qa.status == "fail") rollbackRun(spark, outDir, Seq(cfg.runKey))
     qa
   }
 
-  /** Read-filter-rewrite rollback of one stage directory. */
-  def rollbackStage(spark: SparkSession, outDir: String, stage: String, bad: DataFrame,
-      keyCol: String = "ingest_run_key"): Unit = {
+  /** Stage directories written `.partitionBy("part_id")` (run() + the
+    * Materializer's manifest writer). `_manifest`/`_metrics` carry a part_id
+    * COLUMN but are small unpartitioned tables.
+    */
+  val PartitionedStages: Seq[String] = Seq("nodes", "edges", "chunks", "turn_checksums")
+
+  /** Targeted compensating rollback of failed run(s) — the Spark form of the
+    * reference's run-key-scoped delete (ref:src/fancyrag/db/neo4j_queries.py:122-180),
+    * which likewise touches only the failed run's rows, never the whole graph.
+    *
+    * Cost scales with the FAILED RUN, not the accumulated table: the failed
+    * run's `_manifest` rows name exactly the part_ids it wrote (bounded by
+    * numPartitions), and only those partition directories are read
+    * (partition-pruned scan), filtered, and swapped. A 1-partition run over a
+    * 100-partition table rewrites 1 partition.
+    *
+    * Manifest invalidation is deliberately WIDER than the bad run keys: the
+    * node MERGE re-stamps matched rows with the incoming run key
+    * (SET-on-match, Materializer.mergeUpsert), so rolling back run B from a
+    * partition also removes rows that an earlier run A contributed and B
+    * re-stamped. A surviving "A complete" manifest row would then let the next
+    * run skip a partition whose data is gone — silent loss with a false pass.
+    * Every completion row of a TOUCHED partition is therefore dropped,
+    * forcing recompute of exactly those partitions.
+    */
+  def rollbackRun(spark: SparkSession, outDir: String, badRunKeys: Seq[String]): Unit = {
+    import spark.implicits._
+    val manifestPath = s"$outDir/_manifest"
+    val manifest =
+      try Some(spark.read.parquet(manifestPath)) catch { case _: Throwable => None }
+    // Bounded collect: one int per (stage, part_id) the failed run completed.
+    val touched: Seq[Int] = manifest match {
+      case Some(m) => m.filter(col("run_key").isin(badRunKeys: _*))
+        .select("part_id").distinct().collect().map(_.getInt(0)).toSeq.sorted
+      case None => Seq.empty
+    }
+    val bad = badRunKeys.toDF("ingest_run_key")
+    if (touched.nonEmpty) PartitionedStages.foreach { stage =>
+      rollbackStagePartitions(spark, outDir, stage, bad, touched)
+    }
+    if (manifest.isDefined)
+      rollbackStageFiltered(spark, outDir, "_manifest",
+        df => df.filter(!(col("run_key").isin(badRunKeys: _*) ||
+          col("part_id").isin(touched: _*))))
+    // _metrics rows are per-run observability records: only the failed run's
+    // own rows are lies; earlier runs' metrics describe writes that happened.
+    rollbackStageFiltered(spark, outDir, "_metrics",
+      df => df.filter(!col("run_key").isin(badRunKeys: _*)))
+  }
+
+  /** Swap-rewrite of ONLY the touched part_id directories of one partitioned
+    * stage: read the touched partitions (pruned), drop the bad runs' rows,
+    * stage the kept rows to a tmp tree, then per-partition delete+rename.
+    * The kept data is fully on disk before any original partition is removed,
+    * so a crash mid-swap loses at most the not-yet-swapped partitions'
+    * filtering — never the kept rows — and their manifest rows are removed
+    * afterwards, forcing recompute.
+    */
+  private def rollbackStagePartitions(spark: SparkSession, outDir: String,
+      stage: String, bad: DataFrame, touched: Seq[Int]): Unit = {
     val path = s"$outDir/$stage"
-    val kept = spark.read.parquet(path)
-      .join(bad.toDF(keyCol), Seq(keyCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    kept.count() // force before overwriting the source
-    kept.write.mode(SaveMode.Overwrite).parquet(s"$path.tmp")
-    kept.unpersist()
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return
+    val kept = spark.read.parquet(path)
+      .filter(col("part_id").isin(touched: _*)) // partition-pruned
+      .join(bad, Seq("ingest_run_key"), "left_anti")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.rbtmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // Preserves the partitioned layout (round-3 finding: an unpartitioned
+    // rewrite here corrupted the next run's resume + MERGE compaction).
+    kept.write.mode(SaveMode.Overwrite).partitionBy("part_id").parquet(tmp.toString)
+    touched.foreach { pid =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/part_id=$pid")
+      fs.delete(dst, true)
+      val src = new org.apache.hadoop.fs.Path(s"$path.rbtmp/part_id=$pid")
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(tmp, true)
+  }
+
+  /** Read-filter-rewrite rollback of one whole stage directory. Kept as the
+    * generic per-stage API (and for the small unpartitioned `_manifest` /
+    * `_metrics` tables); [[rollbackRun]] is the targeted production path.
+    */
+  def rollbackStage(spark: SparkSession, outDir: String, stage: String, bad: DataFrame,
+      keyCol: String = "ingest_run_key"): Unit =
+    rollbackStageFiltered(spark, outDir, stage,
+      df => df.join(bad.toDF(keyCol), Seq(keyCol), "left_anti"))
+
+  /** Whole-stage rewrite keeping `keep(src)`'s rows. The rewrite preserves an
+    * on-disk `part_id=` partitioned layout (round-3 finding: losing it made
+    * the next run's partition discovery read the mixed tree as unpartitioned,
+    * dropping part_id values and corrupting resume + MERGE compaction).
+    */
+  private def rollbackStageFiltered(spark: SparkSession, outDir: String, stage: String,
+      keep: DataFrame => DataFrame): Unit = {
+    val path = s"$outDir/$stage"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return
+    val kept = keep(spark.read.parquet(path))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count() // force before overwriting the source
+    val partitionedLayout = fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("part_id="))
+    val w = kept.write.mode(SaveMode.Overwrite)
+    (if (partitionedLayout) w.partitionBy("part_id") else w).parquet(s"$path.tmp")
+    kept.unpersist()
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$path.tmp"), p)
   }

@@ -129,6 +129,119 @@ class ResumeSpec extends AnyFunSuite {
       .groupBy("part_id", "id").count().filter(col("count") > 1).count() == 0)
   }
 
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listFiles(dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().getPath.toString
+      b.result()
+    }
+  }
+
+  test("QA fail -> rollback -> retry -> pass: graph identical to an uninterrupted run") {
+    val turns = TranscriptGen.table(spark, 10L).toDF().cache()
+    val clean = Files.createTempDirectory("graft-gate-clean").toString
+    val dir = Files.createTempDirectory("graft-gate").toString
+    assert(KgBuild.run(spark, turns, cfg.copy(runKey = "kg:gate-clean"), clean).status == "pass")
+
+    // force the gate to fail (thresholds an all-green graph can't meet)
+    val qaBad = KgBuild.run(spark, turns, cfg.copy(runKey = "kg:gate-bad"), dir,
+      graft.qa.QaEvaluator.QaThresholds(maxMissingEmbeddings = -1))
+    assert(qaBad.status == "fail")
+    // rollback ran: no row of the failed run survives in any stage, and the
+    // partitioned stage dirs keep their part_id= layout (no bare data files
+    // at the root that would break partition discovery on the retry)
+    KgBuild.PartitionedStages.foreach { stage =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$stage")
+      if (fsOf(dir).exists(p)) {
+        fsOf(dir).listStatus(p).foreach { st =>
+          assert(!(st.isFile && st.getPath.getName.endsWith(".parquet")),
+            s"$stage: unpartitioned data file ${st.getPath} after rollback")
+        }
+        val remaining = try spark.read.parquet(p.toString)
+          .filter(col("ingest_run_key") === "kg:gate-bad").count()
+        catch { case _: Throwable => 0L } // empty dir = rolled back
+        assert(remaining == 0, s"$stage still holds failed-run rows")
+      }
+    }
+    // the failed run's completion markers are gone (retry must recompute)
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+    assert(manifest.count() == 0, "rolled-back partitions kept completion rows")
+
+    // retry into the SAME directory with sane thresholds
+    val qa2 = KgBuild.run(spark, turns, cfg.copy(runKey = "kg:gate-retry"), dir)
+    assert(qa2.status == "pass")
+    assert(tripleSet(dir) == tripleSet(clean))
+    assert(spark.read.parquet(s"$dir/nodes")
+      .groupBy("part_id", "id").count().filter(col("count") > 1).count() == 0)
+    // completedPartitions resolves every NON-EMPTY partition for a
+    // same-input rerun (a hash partition with no conversations never gets a
+    // manifest row)
+    val checks = Materializer.inputChecksums(turns, cfg.numPartitions)
+    val nonEmptyParts = turns
+      .select(Materializer.partId("conv_id", cfg.numPartitions)).distinct().count()
+    assert(Materializer.completedPartitions(spark, dir, "nodes", checks).count() ==
+      nonEmptyParts)
+  }
+
+  test("targeted rollback: a 1-partition failed run rewrites only that partition") {
+    import spark.implicits._
+    val turns = TranscriptGen.table(spark, 12L).toDF().cache()
+    val dir = Files.createTempDirectory("graft-rbtgt").toString
+    assert(KgBuild.run(spark, turns, cfg.copy(runKey = "kg:tgt-a"), dir).status == "pass")
+
+    // extra conversations confined to ONE partition: probe candidate ids
+    val hotPart = 1
+    val extraIds = (0 until 100).map(i => s"conv-extra-$i").toDF("conv_id")
+      .withColumn("p", Materializer.partId("conv_id", cfg.numPartitions))
+      .collect().filter(_.getInt(1) == hotPart).map(_.getString(0)).take(2).toSeq
+    assert(extraIds.size == 2)
+    val extraTurns = extraIds.zipWithIndex.flatMap { case (id, i) =>
+      graft.source.TranscriptGen.conversation(100L + i).map(_.turn.copy(conv_id = id))
+    }.toDF()
+    val before = KgBuild.PartitionedStages.map { s =>
+      s -> (0 until cfg.numPartitions).map(p => p -> listFiles(s"$dir/$s/part_id=$p")).toMap
+    }.toMap
+
+    // failed run touching only hotPart
+    val qaBad = KgBuild.run(spark, turns.unionByName(extraTurns),
+      cfg.copy(runKey = "kg:tgt-bad"), dir,
+      graft.qa.QaEvaluator.QaThresholds(maxMissingEmbeddings = -1))
+    assert(qaBad.status == "fail")
+
+    // every untouched partition's files are bit-for-bit the same listing;
+    // rollback cost scaled with the failed run, not the table
+    KgBuild.PartitionedStages.foreach { s =>
+      (0 until cfg.numPartitions).filter(_ != hotPart).foreach { p =>
+        assert(listFiles(s"$dir/$s/part_id=$p") == before(s)(p),
+          s"untouched partition $s/part_id=$p was rewritten")
+      }
+    }
+    // no failed-run rows anywhere; touched partition's completion rows gone
+    assert(spark.read.parquet(s"$dir/nodes")
+      .filter(col("ingest_run_key") === "kg:tgt-bad").count() == 0)
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+    assert(manifest.filter(col("run_key") === "kg:tgt-bad").count() == 0)
+    assert(manifest.filter(col("part_id") === hotPart).count() == 0,
+      "touched partition must lose ALL completion rows (MERGE re-stamp semantics)")
+
+    // retry the same widened input: recomputes exactly hotPart, passes, and
+    // matches a from-scratch run over the widened input
+    val qa2 = KgBuild.run(spark, turns.unionByName(extraTurns),
+      cfg.copy(runKey = "kg:tgt-retry"), dir)
+    assert(qa2.status == "pass")
+    val freshDir = Files.createTempDirectory("graft-rbtgt-fresh").toString
+    assert(KgBuild.run(spark, turns.unionByName(extraTurns),
+      cfg.copy(runKey = "kg:tgt-fresh"), freshDir).status == "pass")
+    assert(tripleSet(dir) == tripleSet(freshDir))
+  }
+
   test("rollback removes exactly the bad run's rows") {
     import spark.implicits._
     val turns = TranscriptGen.table(spark, 6L).toDF().cache()
@@ -137,6 +250,11 @@ class ResumeSpec extends AnyFunSuite {
     val before = spark.read.parquet(s"$dir/nodes").count()
     assert(before > 0)
     KgBuild.rollbackStage(spark, dir, "nodes", Seq(cfg.runKey).toDF("ingest_run_key"))
-    assert(spark.read.parquet(s"$dir/nodes").count() == 0)
+    // a fully-rolled-back partitioned stage has no data files left at all
+    // (the layout-preserving rewrite emits no partition dirs for zero rows)
+    val remaining =
+      try spark.read.parquet(s"$dir/nodes").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(remaining == 0)
   }
 }
