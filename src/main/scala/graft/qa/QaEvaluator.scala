@@ -100,6 +100,23 @@ object QaEvaluator {
     entityNodes.join(endpoints, Seq("id"), "left_anti")
   }
 
+  /** The histogram's fixed bucket labels, in the emitted (string-sorted)
+    * order — known at compile time, so the histogram can ride the single
+    * chunk-pass aggregate as one conditional-sum column per bucket instead
+    * of a second groupBy scan.
+    */
+  private val bucketLabels: Seq[String] = (bins.map(b => s"<=$b") :+ ">2048").sorted
+
+  /** QA gate, fused into exactly THREE Spark actions (the gate runs after
+    * every build; at corpus scale each extra action is another full table
+    * scan — the unfused form cost ~8):
+    *   1. ONE aggregation pass over chunks: stats + token histogram
+    *      (conditional sums over the fixed buckets) + missing-embedding count;
+    *   2. ONE pass over nodes ∪ edges for label/relationship counts;
+    *   3. the three anomaly anti-joins batched into a single action (their
+    *      1-row counts cross-joined and collected together).
+    * QaEvaluatorSpec pins the action count with AQE off (1 action = 1 job).
+    */
   def evaluate(
       sourceTurns: DataFrame,
       storedChecksums: DataFrame,
@@ -108,17 +125,35 @@ object QaEvaluator {
       edges: DataFrame,
       thresholds: QaThresholds = QaThresholds()
   ): QaResult = {
-    // one pass for label counts
-    val labelCounts = nodes
-      .select(explode(col("labels")).as("label"))
-      .groupBy("label").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val edgeCounts = edges.groupBy("rel_type").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val missingEmb = chunks
-      .filter(col("embedding").isNull || size(col("embedding")) === 0).count()
-    val orphans = orphanChunks(chunks, edges).count()
-    val mismatches = checksumMismatches(sourceTurns, storedChecksums).count()
+    // ---- action 1: the fused chunk pass ----
+    val t = tokenEstimate
+    val bucket = tokenBucket
+    val histAggs = bucketLabels.map(b =>
+      sum(when(bucket === b, 1L).otherwise(0L)).as(s"hist:$b"))
+    val chunkAggs = Seq(
+      count(lit(1)).as("chunks"),
+      sum(t).as("tok_total"),
+      max(t).as("tok_max"),
+      avg(t).as("tok_mean"),
+      sum(length(col("text"))).as("chars_total"),
+      sum(when(col("embedding").isNull || size(col("embedding")) === 0, 1L)
+        .otherwise(0L)).as("missing_emb")) ++ histAggs
+    val statsRow = chunks.agg(chunkAggs.head, chunkAggs.tail: _*).collect()(0)
+    val missingEmb = statsRow.getAs[Long]("missing_emb")
+    val hist = bucketLabels
+      .map(b => b -> statsRow.getAs[Long](s"hist:$b"))
+      .filter(_._2 > 0) // same shape as the former groupBy (absent = no row)
+
+    // ---- action 2: label + relationship counts in one union pass ----
+    val kindCounts = nodes
+      .select(explode(col("labels")).as("key"), lit("label").as("kind"))
+      .unionByName(edges.select(col("rel_type").as("key"), lit("rel").as("kind")))
+      .groupBy("kind", "key").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val labelCounts = kindCounts.collect { case ("label", k, n) => k -> n }.toMap
+    val edgeCounts = kindCounts.collect { case ("rel", k, n) => k -> n }.toMap
+
+    // ---- action 3: the three anomaly anti-joins, batched ----
     // Orphan check covers schema-labeled entities (labels beyond the bare
     // __Entity__ catch-all): those arise from relation/mention patterns and
     // must be connected. Data-derived candidate entities (label __Entity__
@@ -129,16 +164,15 @@ object QaEvaluator {
     // semantic relations selected by provenance property, not a hardcoded
     // type list (P7; ref:queries/hybrid_retrieval.cypher:6)
     val semanticEdges = edges.filter(col("props").getItem("semantic_source").isNotNull)
-    val semOrphans = orphanEntities(entityNodes, semanticEdges).count()
-
-    val statsRow = chunks.agg(
-      count(lit(1)).as("chunks"),
-      sum(tokenEstimate).as("tok_total"),
-      max(tokenEstimate).as("tok_max"),
-      avg(tokenEstimate).as("tok_mean"),
-      sum(length(col("text"))).as("chars_total")).collect()(0)
-    val hist = chunks.groupBy(tokenBucket.as("bucket")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val anomalyRow = orphanChunks(chunks, edges).agg(count(lit(1)).as("orphans"))
+      .crossJoin(checksumMismatches(sourceTurns, storedChecksums)
+        .agg(count(lit(1)).as("mismatches")))
+      .crossJoin(orphanEntities(entityNodes, semanticEdges)
+        .agg(count(lit(1)).as("sem_orphans")))
+      .collect()(0)
+    val orphans = anomalyRow.getAs[Long]("orphans")
+    val mismatches = anomalyRow.getAs[Long]("mismatches")
+    val semOrphans = anomalyRow.getAs[Long]("sem_orphans")
 
     val anomalies = Map(
       "missing_embeddings" -> missingEmb,
