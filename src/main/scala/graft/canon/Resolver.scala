@@ -47,14 +47,20 @@ object Resolver {
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
+    // Null endpoints carry no linkage evidence and would NPE the driver-side
+    // union-find (getString) — drop them up front on both paths.
     val e = edges.toDF("u", "v")
-    // SMALL-GRAPH FAST PATH: one bounded collect decides; if the graph
-    // exceeds the bound the distributed fixpoint recomputes `e` (callers
-    // feeding large graphs — minhashClusters — hand us an already-persisted
-    // pair table, so the probe scan is cheap).
-    val probe = e.limit(DriverCcMaxEdges + 1).collect()
-    if (probe.length <= DriverCcMaxEdges) {
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    // SMALL-GRAPH FAST PATH, decided by a LIMIT-pushed count: an over-bound
+    // graph pays one early-terminating count job instead of shipping ~200k
+    // rows to the driver only to discard them. A small graph pays the count
+    // plus the (bounded) collect — both cheap. Callers that know their graph
+    // is large can skip the probe entirely via
+    // [[connectedComponentsDistributed]].
+    val overBound = e.limit(DriverCcMaxEdges + 1).count() > DriverCcMaxEdges
+    if (!overBound) {
       import spark.implicits._
+      val probe = e.collect()
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x: String): String = {
         var r = x
@@ -86,13 +92,34 @@ object Resolver {
     */
   private[graft] def connectedComponentsDistributed(
       edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    // Reliable checkpoint dir for the FINAL labels (lazily defaulted): each
+    // round's localCheckpoint is released as soon as the next round lands,
+    // and a localCheckpoint cannot back the returned DataFrame once released
+    // (truncated lineage = no recompute path), so the final table takes one
+    // reliable ids-only checkpoint write instead. Net effect: NOTHING stays
+    // in sc.getPersistentRDDs after this function returns (pinned by
+    // ResolverSpec); the bounded checkpoint files live until JVM exit — at
+    // production scale the checkpoint dir is cluster storage with retention.
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+
     val e = edges.toDF("u", "v")
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("u").as("member")).distinct()
-      .withColumn("rep", col("member"))
-      .localCheckpoint()
+    var (labels, labelIds) = ckpt(
+      sym.select(col("u").as("member")).distinct()
+        .withColumn("rep", col("member")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -106,25 +133,31 @@ object Resolver {
       // pointer jumping: rep := label(rep); reps are themselves members by
       // construction, so the lookup join always resolves
       val lookup = stepped.select(col("member").as("r_member"), col("rep").as("r_rep"))
-      val next = stepped
+      val (next, nextIds) = ckpt(stepped
         .join(lookup, stepped("rep") === lookup("r_member"), "left")
         .select(stepped("member"),
-          least(stepped("rep"), coalesce(col("r_rep"), stepped("rep"))).as("rep"))
-        .localCheckpoint()
+          least(stepped("rep"), coalesce(col("r_rep"), stepped("rep"))).as("rep")))
       val changed = next
         .join(labels.withColumnRenamed("rep", "prev"), Seq("member"))
         .filter(col("rep") =!= col("prev"))
         .limit(1).count()
+      // the previous round's checkpoint blocks are dead once `changed` is
+      // computed — release them instead of accumulating one label table per
+      // round for the whole fixpoint
+      release(labelIds)
       labels = next
+      labelIds = nextIds
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    sym.unpersist(blocking = true)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds (graph diameter" +
           s" > 2^$maxIter is impossible — this indicates a bug, not a big graph)")
-    labels
+    val out = labels.checkpoint() // eager, reliable — survives the release below
+    release(labelIds)
+    out
   }
 
   /** The canonical entity Dataset: (norm, canon_norm, canon_name, label) for

@@ -76,6 +76,27 @@ class ResolverSpec extends AnyFunSuite {
     assert(fast == dist, s"fast=$fast dist=$dist")
   }
 
+  test("distributed fixpoint retains NO persisted RDDs after returning") {
+    import spark.implicits._
+    val edges = (0 until 120).map(i => (f"c$i%03d", f"c${i + 1}%03d")).toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cc = Resolver.connectedComponentsDistributed(edges)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"fixpoint leaked persisted RDDs: $leaked")
+    // the returned (reliable-checkpointed) table is still fully usable
+    assert(cc.count() == 121)
+    assert(cc.agg(org.apache.spark.sql.functions.countDistinct("rep")).head.getLong(0) == 1)
+  }
+
+  test("null edge endpoints are dropped, not NPE'd, on both paths") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), (null, "c"), ("d", null))
+      .toDF("u", "v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(toMap(Resolver.connectedComponents(edges)) == Map("a" -> "a", "b" -> "a"))
+  }
+
   test("cross-path equivalence holds on seeded random graphs") {
     import spark.implicits._
     def toMap(df: org.apache.spark.sql.DataFrame) =
