@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   GET /fetch?id=<node id>              -> node row (embedding stripped)
   *
   * Usage: runMain graft.app.AskServer --graph /tmp/kg --port 8080
+  *        [--bind 127.0.0.1]   (loopback default; wildcard is an opt-in)
   */
 object AskServer {
 
@@ -49,22 +50,47 @@ object AskServer {
     try os.write(bytes) finally os.close()
   }
 
-  /** Start the server (port 0 = ephemeral; read the bound port off the
-    * returned server). One Spark session serves every request.
+  /** JSON-safe double: a NaN/Infinity score must not emit invalid JSON. */
+  private def jsonNum(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+
+  /** Internal errors return a generic body; the exception goes to the server
+    * log, not the client (raw messages can carry paths/query fragments).
     */
-  def start(spark: SparkSession, graphDir: String, port: Int): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private def handleSafely(ex: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[ask-server] ${ex.getRequestURI.getPath}: $e")
+        respond(ex, 500, """{"error":"internal error"}""")
+    }
+
+  /** Start the server (port 0 = ephemeral; read the bound port off the
+    * returned server). One Spark session serves every request. Binds
+    * loopback by default — exposing an unauthenticated query surface on a
+    * wildcard interface is an explicit `--bind 0.0.0.0` opt-in. Handlers run
+    * on a small pool so a slow /ask never blocks /health.
+    */
+  def start(spark: SparkSession, graphDir: String, port: Int,
+      bind: String = "127.0.0.1"): HttpServer = {
+    // Load the MERGE-clean graph view ONCE, cached and warmed: per-request
+    // work is then only the query itself, which is what keeps the warm /ask
+    // round-trip inside the 1.5 s serving budget AskSpec enforces.
+    val view = AskMain.loadGraph(spark, graphDir)
+    val server = HttpServer.create(
+      new InetSocketAddress(java.net.InetAddress.getByName(bind), port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
     server.createContext("/ask", (ex: HttpExchange) =>
-      try {
+      handleSafely(ex) {
         val p = params(ex)
         val q = p.getOrElse("q", "")
         if (q.isEmpty) respond(ex, 400, """{"error":"missing q"}""")
         else {
           val k = p.get("k").map(_.toInt).getOrElse(5)
           val semantic = p.get("semantic").forall(_.toBoolean)
-          val rows = AskMain.ask(spark, graphDir, q, k, semantic)
+          val rows = AskMain.ask(spark, view, q, k, semantic)
             .orderBy(col("score").desc).collect()
           val items = rows.map { r =>
             val sem =
@@ -73,26 +99,21 @@ object AskServer {
                   .map(jsonEscape).mkString("[\"", "\",\"", "\"]")
               else "[]"
             s"""{"chunk_uid":"${r.getAs[String]("chunk_uid")}",""" +
-              s""""score":${r.getAs[Double]("score")},""" +
+              s""""score":${jsonNum(r.getAs[Double]("score"))},""" +
               s""""document":"${jsonEscape(Option(r.getAs[String]("document")).getOrElse(""))}",""" +
               s""""semantic_nodes":$sem}"""
           }
           respond(ex, 200,
             s"""{"question":"${jsonEscape(q)}","matches":${items.mkString("[", ",", "]")}}""")
         }
-      } catch {
-        case e: Throwable =>
-          respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
       })
     server.createContext("/fetch", (ex: HttpExchange) =>
-      try {
+      handleSafely(ex) {
         val p = params(ex)
         p.get("id") match {
           case None => respond(ex, 400, """{"error":"missing id"}""")
           case Some(id) =>
-            val nodes = graft.materialize.Materializer.mergeRows(
-              spark.read.parquet(s"$graphDir/nodes"), Seq("id"))
-            val rows = graft.operators.Retrieval.fetchById(nodes, id)
+            val rows = graft.operators.Retrieval.fetchById(view.nodes, id)
               .select("id", "labels", "name").collect()
             val items = rows.map { r =>
               s"""{"id":"${jsonEscape(r.getAs[String]("id"))}",""" +
@@ -101,9 +122,6 @@ object AskServer {
             }
             respond(ex, 200, items.mkString("[", ",", "]"))
         }
-      } catch {
-        case e: Throwable =>
-          respond(ex, 500, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
       })
     server.start()
     server
@@ -112,6 +130,7 @@ object AskServer {
   def main(args: Array[String]): Unit = {
     val a = KgBuildMain.parseArgs(args)
     val graphDir = a.getOrElse("graph", "/tmp/graft-kg-out")
+    val bind = a.getOrElse("bind", "127.0.0.1")
     val port = a.get("port").map(_.toInt).getOrElse(8080)
     val spark = SparkSession.builder()
       .config("spark.master",
@@ -121,7 +140,7 @@ object AskServer {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = start(spark, graphDir, port)
+    val server = start(spark, graphDir, port, bind)
     println(s"""{"serving":"http://localhost:${server.getAddress.getPort}","graph":"$graphDir"}""")
     Thread.currentThread.join() // serve until killed
   }

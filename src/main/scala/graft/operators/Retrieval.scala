@@ -170,12 +170,17 @@ object Retrieval {
       .join(entIds, col("src") === col("__eid"), "left_semi")
       .join(entIds, col("dst") === col("__eid"), "left_semi")
     val anchored = matches.select("chunk_uid").join(entChunks, Seq("chunk_uid"))
-    val outgoing = anchored.join(semEdges, col("ent_id") === col("src"), "inner")
-    val incoming = anchored.join(semEdges, col("ent_id") === col("dst"), "inner")
+    // Undirected traversal as ONE join: each edge is keyed by both endpoints
+    // (the edge table doubles — it is the filtered SEMANTIC edge set, not the
+    // full graph), so the anchor set and the `matches` plan beneath it are
+    // evaluated once instead of three times (outgoing + incoming + final).
+    // collect_set dedups the self-loop double-emission.
+    val undirected = semEdges
+      .select(col("src").as("ent_id"), col("src"), col("rel_type"), col("dst"))
+      .unionByName(semEdges
+        .select(col("dst").as("ent_id"), col("src"), col("rel_type"), col("dst")))
     anchored
-      .join(outgoing.select("chunk_uid", "ent_id", "src", "rel_type", "dst")
-        .unionByName(incoming.select("chunk_uid", "ent_id", "src", "rel_type", "dst")),
-        Seq("chunk_uid", "ent_id"), "left_outer")
+      .join(undirected, Seq("ent_id"), "left_outer")
       .groupBy("chunk_uid")
       .agg(
         collect_set(col("ent_name")).as("semantic_nodes"),
