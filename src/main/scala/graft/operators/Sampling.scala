@@ -68,12 +68,27 @@ object Sampling {
     * there is no single-partition exchange; numShards tunes parallelism
     * independently of batch size (shards are packed independently).
     */
+  /** Ids must be UNIQUE and NUMERIC: the cumsum orders by id, so a duplicate
+    * id would make "the preceding documents" ambiguous, and a non-numeric id
+    * has no shard. Both fail loudly (runtime raise_error / the ROWS frame
+    * below) instead of silently diverging from the sequential contract.
+    */
   def packBatches(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, numShards: Int): DataFrame = {
     require(budget > 0 && numShards > 0)
+    // ROWS frame, not the default RANGE frame: RANGE groups ORDER-BY ties
+    // (duplicate ids) into one cumsum value, silently breaking one-row-at-a-
+    // time packing; ROWS matches the DuckDB oracle's explicit ROWS frame.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col(idCol))
-    df.withColumn("shard", pmod(col(idCol).cast("long"), lit(numShards.toLong)))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val idLong = col(idCol).cast("long")
+    df.withColumn("shard",
+        when(col(idCol).isNotNull && idLong.isNull,
+          raise_error(concat(lit(s"packBatches: non-numeric id in '$idCol': "),
+            col(idCol).cast("string"))).cast("long"))
+          .otherwise(pmod(idLong, lit(numShards.toLong))))
       .withColumn("__cum_before",
         coalesce(sum(col(tokenCol)).over(w) - col(tokenCol), lit(0L)))
       .withColumn("batch_in_shard", floor(col("__cum_before") / budget).cast("long"))
