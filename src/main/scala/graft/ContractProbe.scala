@@ -42,6 +42,13 @@ object ContractProbe {
         println(s"[probe] $sf pq m=$mSub k=$kCw refine=$refine recalls=${recalls(pq)} " +
           s"sec=${(System.nanoTime()-t0)/1e9}")
       }
+      for ((nProbe, refine) <- Seq((4, 8), (8, 8), (8, 16))) {
+        val t0 = System.nanoTime()
+        val ivfpq = topSet(Ann.ivfPqTopK(emb, queries, 5, nCells = 16, m = 16,
+          nCodewords = 32, nProbe = nProbe, refine = refine))
+        println(s"[probe] $sf ivfpq nProbe=$nProbe refine=$refine recalls=${recalls(ivfpq)} " +
+          s"sec=${(System.nanoTime()-t0)/1e9}")
+      }
       // exact cosine near-dup pair count at threshold 0.2
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))

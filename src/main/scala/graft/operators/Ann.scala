@@ -322,30 +322,7 @@ object Ann {
       .orderBy("vec_id").limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head.length
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    Array.tabulate(m) { s =>
-      val vs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
-      var cents = Array.tabulate(k)(i => vs(((i.toLong * vs.length) / k).toInt).clone())
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(k)(new Array[Double](sub))
-        val counts = new Array[Int](k)
-        vs.foreach { v =>
-          val c = nearestCodeword(cents, v)
-          counts(c) += 1
-          var j = 0
-          while (j < sub) { sums(c)(j) += v(j); j += 1 }
-        }
-        cents = Array.tabulate(k) { c =>
-          if (counts(c) == 0) cents(c)
-          else Array.tabulate(sub)(j => (sums(c)(j) / counts(c)).toFloat)
-        }
-        it += 1
-      }
-      cents
-    }
+    trainPqOnVectors(sample, m, k, iters)
   }
 
   /** Index of the L2-nearest codeword (lowest index wins ties). */
@@ -470,6 +447,242 @@ object Ann {
       m: Int = 8, nCodewords: Int = 16, refine: Int = 4): DataFrame = {
     val index = buildPqIndex(corpus, m, nCodewords)
     val out = pqQuery(index, corpus, queries, k, refine).localCheckpoint()
+    index.release()
+    out
+  }
+
+  // ---------------- IVF × PQ composition (IVFADC) ----------------
+
+  /** IVF coarse cells + per-cell-residual PQ codes — the standard 100 TB ANN
+    * layout (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, §IV "IVFADC"): the coarse quantizer restricts the
+    * compressed-domain scan to the nProbe probed cells (|corpus|·nProbe/nCells
+    * codes instead of |corpus|), and the PQ codes quantize the RESIDUAL
+    * v − centroid(cell), which carries far less variance than v itself, so
+    * the same code budget yields tighter distance estimates than raw-vector
+    * PQ. Tiny driver-held arrays (centroids, codebooks, per-cell correction
+    * tables) ride task closures; the big table is ids+cell+codes only.
+    */
+  final case class IvfPqIndex(
+      centroids: Array[Array[Float]], // nCells × dim
+      codebooks: Array[Array[Array[Float]]], // m × k × (dim/m), residual space
+      coded: DataFrame // (vec_id, cell, code)
+  ) {
+    def release(): Unit = { coded.unpersist(); () }
+  }
+
+  /** Per-subspace Lloyd k-means on explicit vectors (shared by the raw-PQ
+    * and residual-PQ trainers; deterministic: stride init, lowest-index
+    * tie-break).
+    */
+  private def trainPqOnVectors(sample: Array[Array[Float]], m: Int, k: Int,
+      iters: Int): Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val vs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cents = Array.tabulate(k)(i => vs(((i.toLong * vs.length) / k).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        vs.foreach { v =>
+          val c = nearestCodeword(cents, v)
+          counts(c) += 1
+          var j = 0
+          while (j < sub) { sums(c)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(j => (sums(c)(j) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  private def residual(v: Array[Float], cent: Array[Float]): Array[Float] =
+    Array.tabulate(v.length)(j => v(j) - cent(j))
+
+  /** Build the IVFADC index: train the coarse quantizer, train the PQ
+    * codebooks on the sample's RESIDUALS, then assign + encode every corpus
+    * vector in ONE narrow pass. Same bounded-sample training contract as the
+    * IVF/PQ builders (driver collect ≤ sampleN rows, never the corpus).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, nCells: Int = 16, m: Int = 16,
+      k: Int = 32, iters: Int = 8, sampleN: Int = 2048): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val cents = kmeansCentroids(corpus, nCells, iters, sampleN)
+    val books = trainPqOnVectors(
+      sample.map(v => residual(v, cents(nearestCell(cents, v)))), m, k, iters)
+    val sub = books(0)(0).length
+    val coded = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val cell = nearestCell(cents, v)
+        val r = residual(v, cents(cell))
+        (id, cell, Array.tabulate(books.length)(s =>
+          nearestCodeword(books(s),
+            java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub))))
+      })
+      .toDF("vec_id", "cell", "code")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    coded.count() // materialize the assign+encode pass once, at build time
+    IvfPqIndex(cents, books, coded)
+  }
+
+  /** Query the IVFADC index. Per query: probe the nProbe nearest cells
+    * (driver-side vs the tiny centroid table), then an ids-only broadcast
+    * equi-join on cell RESTRICTS the compressed-domain scan to probed cells
+    * BEFORE the ADC map (PlanSpec pins the join below the map). ADC for
+    * cosine over residual codes decomposes as
+    *   dot(q, x̂)  = dot(q, c) + Σ_s dot(q_s, cw_s)
+    *   |x̂|²      = |c|² + Σ_s (2·dot(c_s, cw_s) + |cw_s|²)
+    * with dot(q, c) per (query, cell) and the query-INDEPENDENT correction
+    * table per (cell, subspace, code) both precomputed driver-side. Top
+    * k·refine candidates per query survive an ids-only window, then exact
+    * rerank against raw embeddings (broadcast query side).
+    */
+  def ivfPqQuery(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 8, refine: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = index.centroids
+    val books = index.codebooks
+    val m = books.length
+    val sub = books(0)(0).length
+    val cellNorm = cents.map { c =>
+      var n = 0.0; var j = 0
+      while (j < c.length) { n += c(j).toDouble * c(j); j += 1 }
+      n
+    }
+    // query-independent per-cell correction: 2·dot(c_s, cw) + |cw|²
+    val corrTab = Array.tabulate(cents.length) { cell =>
+      Array.tabulate(m) { s =>
+        books(s).map { cw =>
+          var cross = 0.0; var n = 0.0; var t = 0
+          while (t < sub) {
+            cross += cents(cell)(s * sub + t).toDouble * cw(t)
+            n += cw(t).toDouble * cw(t)
+            t += 1
+          }
+          2.0 * cross + n
+        }
+      }
+    }
+    // Size contract for this collect: `queries` is the probe batch, bounded
+    // by the caller — never the corpus (same contract as ivfQuery/pqQuery).
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val qTabs: Map[Long, (Array[Array[Double]], Array[Double], Double)] =
+      qRows.map { case (qid, qv) =>
+        var qn = 0.0; var j = 0
+        while (j < qv.length) { qn += qv(j).toDouble * qv(j); j += 1 }
+        val dotTab = Array.tabulate(m) { s =>
+          books(s).map { cw =>
+            var d = 0.0; var t = 0
+            while (t < sub) { d += qv(s * sub + t).toDouble * cw(t); t += 1 }
+            d
+          }
+        }
+        val qcDot = cents.map { c =>
+          var d = 0.0; var t = 0
+          val n = math.min(c.length, qv.length)
+          while (t < n) { d += qv(t).toDouble * c(t); t += 1 }
+          d
+        }
+        qid -> ((dotTab, qcDot, math.sqrt(qn)))
+      }.toMap
+    val qCells = qRows.toSeq
+      .flatMap { case (qid, v) => probeCells(cents, v, nProbe).map(c => (qid, c)) }
+      .toDF("query_id", "cell")
+    val bc = spark.sparkContext.broadcast(qTabs)
+    val bcCorr = spark.sparkContext.broadcast(corrTab)
+    val bcCellNorm = spark.sparkContext.broadcast(cellNorm)
+    // the cell restriction happens HERE, before any ADC work: only codes in
+    // probed cells survive the broadcast equi-join
+    val probed = index.coded.join(broadcast(qCells), Seq("cell"))
+      .select(col("query_id"), col("vec_id"), col("cell"), col("code"))
+      .as[(Long, Long, Int, Array[Int])]
+    val approx = probed
+      .mapPartitions { it =>
+        val qs = bc.value; val corr = bcCorr.value; val cn = bcCellNorm.value
+        it.map { case (qid, vid, cell, code) =>
+          val (dotTab, qcDot, qNorm) = qs(qid)
+          var d = qcDot(cell); var n2 = cn(cell); var s = 0
+          while (s < code.length) {
+            d += dotTab(s)(code(s)); n2 += corr(cell)(s)(code(s)); s += 1
+          }
+          val score =
+            if (qNorm == 0.0 || n2 <= 0.0) -2.0 else d / (qNorm * math.sqrt(n2))
+          (qid, vid, score)
+        }
+      }
+      .toDF("query_id", "vec_id", "approx")
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vec_id"))
+    val cands = approx.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= k * refine)
+      .select("query_id", "vec_id")
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("score", cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** Persist / load an IVFADC index (centroids + codebooks + coded table) —
+    * same provision-once contract as the IVF and PQ pairs.
+    */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.coded.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for {
+      (book, s) <- index.codebooks.zipWithIndex
+      (cw, c) <- book.zipWithIndex
+    } yield (s, c, cw)).toSeq
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    index.coded.write.mode("overwrite").parquet(s"$path/coded")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Array[Float])].collect()
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cws) => cws.sortBy(_._2).map(_._3) }.toArray
+    val coded = spark.read.parquet(s"$path/coded")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfPqIndex(cents, books, coded)
+  }
+
+  /** One-shot IVFADC convenience: build, query, release. For repeated query
+    * batches hold the [[IvfPqIndex]] and call [[ivfPqQuery]].
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, m: Int = 16, nCodewords: Int = 32,
+      nProbe: Int = 8, refine: Int = 8): DataFrame = {
+    val index = buildIvfPqIndex(corpus, nCells, m, nCodewords)
+    val out = ivfPqQuery(index, corpus, queries, k, nProbe, refine).localCheckpoint()
     index.release()
     out
   }

@@ -236,6 +236,31 @@ class OperatorsSpec extends AnyFunSuite {
     index.release()
   }
 
+  test("IVFADC: residual-PQ recall beats the cell restriction's cost; split parity; round-trip") {
+    val q = vecs.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(vecs, q, 5).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = rows(Ann.ivfPqTopK(vecs, q, 5, nCells = 8, m = 8, nCodewords = 8,
+      nProbe = 4, refine = 4))
+    val recall = (brute intersect one).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVFADC recall too low: $recall")
+    // determinism + build/query split parity + parquet round-trip
+    val index = Ann.buildIvfPqIndex(vecs, nCells = 8, m = 8, k = 8)
+    val b1 = rows(Ann.ivfPqQuery(index, vecs, q.filter(col("vec_id") < 5), 5,
+      nProbe = 4, refine = 4))
+    val b2 = rows(Ann.ivfPqQuery(index, vecs, q.filter(col("vec_id") >= 5), 5,
+      nProbe = 4, refine = 4))
+    assert((b1 ++ b2) == one)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    Ann.saveIvfPqIndex(index, dir)
+    val loaded = Ann.loadIvfPqIndex(spark, dir)
+    assert(rows(Ann.ivfPqQuery(loaded, vecs, q, 5, nProbe = 4, refine = 4)) == one)
+    index.release(); loaded.release()
+  }
+
   test("IVF and PQ indexes round-trip through parquet with query parity") {
     val q = vecs.filter(col("vec_id") < 5)
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -127,6 +127,25 @@ class PlanSpec extends AnyFunSuite {
     } finally index.release()
   }
 
+  test("IVFADC: the cell join restricts the scan BELOW the ADC map; no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val index = graft.operators.Ann.buildIvfPqIndex(emb, nCells = 8, m = 8, k = 8)
+    try {
+      val p = plan(graft.operators.Ann.ivfPqQuery(index, emb,
+        emb.filter(col("vec_id") < 4), 5, nProbe = 4, refine = 4))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      // the broadcast equi-join on cell must sit BENEATH the ADC
+      // MapPartitions: the tree prints parent-first, so a join deeper than
+      // the map node appears AFTER it in the string (the earlier
+      // BroadcastHashJoins are the rerank's, above the map) — only probed
+      // cells reach the compressed-domain scoring
+      val mapIdx = p.indexOf("MapPartitions")
+      assert(mapIdx >= 0, p.linesIterator.take(8).mkString("\n"))
+      assert(p.lastIndexOf("BroadcastHashJoin") > mapIdx,
+        s"cell restriction must sit beneath the ADC map:\n${p.linesIterator.take(25).mkString("\n")}")
+    } finally index.release()
+  }
+
   test("decontamination and boilerplate plans: equi-joins only, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val evalSet = docs.filter(col("doc_id") % 10 === 0)
