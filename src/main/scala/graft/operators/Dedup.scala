@@ -134,7 +134,14 @@ object Dedup {
     // rep IS the numeric min — the operator's contract is "cluster_rep =
     // lowest doc id in the cluster" (keep-lowest-id dedup; requires
     // non-negative ids, like every id column in this engine).
-    val pad = (c: org.apache.spark.sql.Column) => format_string("%020d", c)
+    // The non-negative-id assumption is ENFORCED, not just documented: a
+    // negative id's zero-pad sorts wrongly ("-…05" < "-…10") and would
+    // silently elect a wrong cluster rep — fail loudly instead.
+    val pad = (c: org.apache.spark.sql.Column) =>
+      when(c < 0, raise_error(concat(
+        lit("minhashClusters: negative doc id breaks the zero-padded CC key: "),
+        c.cast("string"))).cast("string"))
+        .otherwise(format_string("%020d", c))
     val pairEdges = pairs
       .select(pad(col("id_a")).as("u"), pad(col("id_b")).as("v"))
     val clustered = Resolver.connectedComponents(pairEdges)
@@ -277,17 +284,41 @@ object Dedup {
     * [[ngramJaccardPairs]] and [[ngramContamination]] (and mirrored
     * verbatim by their DuckDB oracles).
     */
-  private def gramArray(textCol: String, n: Int): org.apache.spark.sql.Column = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+  /** Lowercased whitespace tokens of a text column. ALWAYS materialize this
+    * through its own projection before feeding it to a gram lambda:
+    * higher-order functions evaluate interpreted, and a non-attribute `toks`
+    * expression inside the per-position lambda is RE-EVALUATED per gram
+    * position — the regex split would run O(tokens) times per row (measured
+    * 6x the whole gram build at sf0.1). Against a plain column attribute the
+    * lambda is just an array read, and Catalyst's CollapseProject leaves the
+    * boundary alone because the alias is referenced from non-cheap
+    * expressions more than once.
+    */
+  private def tokArray(textCol: String): org.apache.spark.sql.Column =
+    filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+
+  /** Distinct word n-gram strings from a MATERIALIZED token-array column. */
+  private def gramsFromToks(toks: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+
+  /** Distinct HASHED n-gram keys from a MATERIALIZED token-HASH column:
+    * a gram key is the xxhash64 chain over its n token hashes — no gram
+    * string is ever constructed. Equal grams ⇔ equal token sequences ⇔ equal
+    * chains; distinct chains collide at ~2^-64. Everything downstream
+    * (distinct, explode, shuffle, join, aggregate) moves 8-byte longs.
+    */
+  private def hashedGramsFromTokHashes(th: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(th) - n, lit(0))),
+        i => aggregate(slice(th, i + 1, lit(n)), lit(42L), (acc, h) => xxhash64(acc, h))))
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val grams = df.select(col(idCol).cast("long").as("id"),
-      gramArray(textCol, n).as("grams"))
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), tokArray(textCol).as("__toks"))
+      .select(col("id"), gramsFromToks(col("__toks"), n).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = grams.select(col("id"), size(col("grams")).as("n_grams"),
       explode(col("grams")).as("gram"))
@@ -342,21 +373,27 @@ object Dedup {
     */
   def ngramContamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 13, hashGrams: Boolean = false): DataFrame = {
-    // hashGrams = true is the 100 TB path: grams collapse to xxhash64 longs
-    // right after the explode, so the shuffle/join/aggregate carry 8 bytes
+    // hashGrams = true is the 100 TB path: gram keys are 8-byte token-hash
+    // chains built WITHOUT constructing gram strings at all
+    // ([[hashedGramArray]]), so both the per-row gram work and everything
+    // downstream (distinct, explode, shuffle, join, aggregate) move longs
     // instead of ~6n-char strings. A cross-gram hash collision could
     // overcount by 1 in ~2^-64 — the string form stays the oracle variant
     // (q_decontaminate), and OperatorsSpec pins the two paths equal.
-    val key: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (hashGrams) g => xxhash64(g) else identity
-    val trainGrams = train
-      .select(col(idCol).cast("long").as("id"), gramArray(textCol, n).as("grams"))
-      .select(col("id"), explode(col("grams")).as("__g"))
-      .select(col("id"), key(col("__g")).as("gram"))
-    val evalGrams = eval
-      .select(gramArray(textCol, n).as("grams"))
-      .select(explode(col("grams")).as("__g"))
-      .select(key(col("__g")).as("gram")).distinct()
+    def gramRows(src: DataFrame, keep: Seq[String]): DataFrame = {
+      val keepCols = keep.map(col)
+      if (hashGrams)
+        src.select(keepCols :+
+          transform(tokArray(textCol), t => xxhash64(t)).as("__th"): _*)
+          .select(keepCols :+
+            explode(hashedGramsFromTokHashes(col("__th"), n)).as("gram"): _*)
+      else
+        src.select(keepCols :+ tokArray(textCol).as("__toks"): _*)
+          .select(keepCols :+ explode(gramsFromToks(col("__toks"), n)).as("gram"): _*)
+    }
+    val trainGrams = gramRows(
+      train.select(col(idCol).cast("long").as("id"), col(textCol)), Seq("id"))
+    val evalGrams = gramRows(eval.select(col(textCol)), Seq.empty).distinct()
     // (id, gram) is unique by construction here — gramArray is per-doc
     // distinct and the eval side is globally distinct — so a plain count is
     // the distinct-gram count without the count_distinct expand.

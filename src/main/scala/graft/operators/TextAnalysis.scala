@@ -36,11 +36,15 @@ object TextAnalysis {
     * (undetermined) when nothing scores.
     */
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // one tokenize feeds all four language scorers (attribute reference, so
+    // the per-language transforms don't each re-run the regex split)
+    val toks = col("__lid_toks")
     val scored = stopwords.keys.toSeq.sorted.map { l =>
       struct(stopwordHits(toks, l).as("hits"), lit(l).as("lang"))
     }
-    df.withColumn("lang_scores", array(scored: _*))
+    df.withColumn("__lid_toks", tokens(col(textCol)))
+      .withColumn("lang_scores", array(scored: _*))
+      .drop("__lid_toks")
       .withColumn("best", array_max(col("lang_scores")))
       .withColumn("lang_pred",
         when(col("best.hits") > 0, col("best.lang")).otherwise(lit("und")))
@@ -58,10 +62,11 @@ object TextAnalysis {
     val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
     val punct = length(regexp_replace(t, "[^.,;:!?'\"()-]", "")).cast("double")
     val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double")
-    val toks = tokens(t)
+    val toks = col("__q_toks") // single tokenize, see withLangId
     val nToks = size(filter(toks, x => length(x) > 0)).cast("double")
     val sw = stopwordHits(toks, "en").cast("double")
-    df.withColumn("n_chars", len.cast("long"))
+    df.withColumn("__q_toks", tokens(t))
+      .withColumn("n_chars", len.cast("long"))
       .withColumn("n_tokens", nToks.cast("long"))
       .withColumn("alpha_ratio", round(alpha / greatest(len, lit(1.0)), 6))
       .withColumn("punct_ratio", round(punct / greatest(len, lit(1.0)), 6))
@@ -75,6 +80,7 @@ object TextAnalysis {
           col("stopword_ratio") * 2.0 * 0.2 +
           (lit(1.0) - least(col("digit_ratio") * 5, lit(1.0))) * 0.2) * 1e6 + 0.5)
         .cast("long"))
+      .drop("__q_toks")
   }
 
   /** Token counts: whitespace tokens and a BPE-ish estimate
@@ -103,12 +109,19 @@ object TextAnalysis {
     * boilerplate.
     */
   def withFingerprint(df: DataFrame, textCol: String, window: Int = 8): DataFrame = {
+    // tokens are materialized through a projection first: HOF lambdas run
+    // interpreted, and slice(toks, …) against a non-attribute `toks` inside
+    // the per-window lambda re-runs the regex split once PER WINDOW — O(L²)
+    // splits per row (same finding as Dedup.tokArray, measured 6x there)
     val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val tk = col("__fp_toks")
     val windows = transform(
-      sequence(lit(0), greatest(size(toks) - window, lit(0))),
-      i => xxhash64(array_join(slice(toks, i + 1, lit(window)), " ")))
-    df.withColumn("fingerprint",
-      when(size(toks) === 0, lit(0L)).otherwise(array_min(windows)))
+      sequence(lit(0), greatest(size(tk) - window, lit(0))),
+      i => xxhash64(array_join(slice(tk, i + 1, lit(window)), " ")))
+    df.withColumn("__fp_toks", toks)
+      .withColumn("fingerprint",
+        when(size(tk) === 0, lit(0L)).otherwise(array_min(windows)))
+      .drop("__fp_toks")
   }
 
   /** CCNet-style boilerplate-line removal: drop every LINE whose exact text
@@ -153,10 +166,13 @@ object TextAnalysis {
     */
   def withFingerprintMd5(df: DataFrame, textCol: String, window: Int = 8): DataFrame = {
     val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val tk = col("__fp_toks") // see withFingerprint: lambda re-evaluation
     val windows = transform(
-      sequence(lit(0), greatest(size(toks) - window, lit(0))),
-      i => md5(array_join(slice(toks, i + 1, lit(window)), " ")))
-    df.withColumn("fingerprint",
-      when(size(toks) === 0, lit("0")).otherwise(array_min(windows)))
+      sequence(lit(0), greatest(size(tk) - window, lit(0))),
+      i => md5(array_join(slice(tk, i + 1, lit(window)), " ")))
+    df.withColumn("__fp_toks", toks)
+      .withColumn("fingerprint",
+        when(size(tk) === 0, lit("0")).otherwise(array_min(windows)))
+      .drop("__fp_toks")
   }
 }
