@@ -387,7 +387,12 @@ object KgBuild {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return
-    val kept = spark.read.parquet(path)
+    // a previous full rollback can leave the dir with no data files at all
+    // (schema unreadable) — nothing to rewrite then
+    val src =
+      try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val kept = src
       .filter(col("part_id").isin(touched: _*)) // partition-pruned
       .join(bad, Seq("ingest_run_key"), "left_anti")
     val tmp = new org.apache.hadoop.fs.Path(s"$path.rbtmp")

@@ -25,10 +25,21 @@ import org.apache.spark.sql.SparkSession
   */
 object KgBuildMain {
 
-  def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+  /** `--key value` pairs; non-flag tokens JOIN the preceding flag's value
+    * (so a multi-word `--question Who founded Acme Corp?` survives sbt's
+    * whitespace re-splitting of the runMain line). The old fixed-stride
+    * sliding(2, 2) silently shifted every flag after the first multi-token
+    * value off its pair.
+    */
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var key: Option[String] = None
+    args.foreach { t =>
+      if (t.startsWith("--")) { key = Some(t.drop(2)); m.getOrElseUpdate(key.get, "") }
+      else key.foreach(k => m(k) = if (m(k).isEmpty) t else m(k) + " " + t)
+    }
+    m.filter(_._2.nonEmpty).toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)

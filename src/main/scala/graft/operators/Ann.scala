@@ -601,29 +601,38 @@ object Ann {
         }
         qid -> ((dotTab, qcDot, math.sqrt(qn)))
       }.toMap
-    val qCells = qRows.toSeq
-      .flatMap { case (qid, v) => probeCells(cents, v, nProbe).map(c => (qid, c)) }
-      .toDF("query_id", "cell")
+    val cellQueries: Map[Int, Array[Long]] = qRows.toSeq
+      .flatMap { case (qid, v) => probeCells(cents, v, nProbe).map(c => (c, qid)) }
+      .groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2).toArray }
+    val probedCells = cellQueries.keys.toSeq.sorted
     val bc = spark.sparkContext.broadcast(qTabs)
     val bcCorr = spark.sparkContext.broadcast(corrTab)
     val bcCellNorm = spark.sparkContext.broadcast(cellNorm)
-    // the cell restriction happens HERE, before any ADC work: only codes in
-    // probed cells survive the broadcast equi-join
-    val probed = index.coded.join(broadcast(qCells), Seq("cell"))
-      .select(col("query_id"), col("vec_id"), col("cell"), col("code"))
-      .as[(Long, Long, Int, Array[Int])]
+    val bcCellQ = spark.sparkContext.broadcast(cellQueries)
+    // The cell restriction is a plain FILTER before any ADC work — no join
+    // materialization, and when the persisted codes table is PARTITIONED BY
+    // cell (saveIvfPqIndex) the same predicate becomes partition pruning:
+    // unprobed cells are never read at all. Each surviving row is scored
+    // only against the queries that probed its cell (broadcast map).
+    val probed = index.coded
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("cell"), col("code"))
+      .as[(Long, Int, Array[Int])]
     val approx = probed
       .mapPartitions { it =>
         val qs = bc.value; val corr = bcCorr.value; val cn = bcCellNorm.value
-        it.map { case (qid, vid, cell, code) =>
-          val (dotTab, qcDot, qNorm) = qs(qid)
-          var d = qcDot(cell); var n2 = cn(cell); var s = 0
-          while (s < code.length) {
-            d += dotTab(s)(code(s)); n2 += corr(cell)(s)(code(s)); s += 1
+        val cq = bcCellQ.value
+        it.flatMap { case (vid, cell, code) =>
+          cq.getOrElse(cell, Array.empty[Long]).iterator.map { qid =>
+            val (dotTab, qcDot, qNorm) = qs(qid)
+            var d = qcDot(cell); var n2 = cn(cell); var s = 0
+            while (s < code.length) {
+              d += dotTab(s)(code(s)); n2 += corr(cell)(s)(code(s)); s += 1
+            }
+            val score =
+              if (qNorm == 0.0 || n2 <= 0.0) -2.0 else d / (qNorm * math.sqrt(n2))
+            (qid, vid, score)
           }
-          val score =
-            if (qNorm == 0.0 || n2 <= 0.0) -2.0 else d / (qNorm * math.sqrt(n2))
-          (qid, vid, score)
         }
       }
       .toDF("query_id", "vec_id", "approx")
@@ -645,7 +654,10 @@ object Ann {
   }
 
   /** Persist / load an IVFADC index (centroids + codebooks + coded table) —
-    * same provision-once contract as the IVF and PQ pairs.
+    * same provision-once contract as the IVF and PQ pairs. The coded table
+    * is written PARTITIONED BY cell, so [[ivfPqQuery]]'s probed-cell filter
+    * becomes parquet partition pruning on a loaded index: unprobed cells'
+    * files are never opened — the on-disk analog of an inverted list.
     */
   def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
     val spark = index.coded.sparkSession
@@ -659,7 +671,7 @@ object Ann {
     } yield (s, c, cw)).toSeq
       .toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    index.coded.write.mode("overwrite").parquet(s"$path/coded")
+    index.coded.write.mode("overwrite").partitionBy("cell").parquet(s"$path/coded")
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {

@@ -64,6 +64,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters(7L) == 7L)
   }
 
+  test("minhash clustering fails loudly on negative doc ids (zero-pad contract)") {
+    import spark.implicits._
+    // NEAR-duplicates (not identical): exact-dup collapse must not swallow
+    // the pair, so the pad guard on the CC edge actually evaluates
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq((-1L, base + "tail one"), (2L, base + "tail two"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.minhashClusters(docs, "doc_id", "text", threshold = 0.1).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("negative doc id") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative doc id")),
+      s"expected the negative-id raise_error, got: $e")
+  }
+
   test("dedup operators release their cached intermediates (no storage leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashClusters(docs, "doc_id", "text", threshold = 0.6).collect()

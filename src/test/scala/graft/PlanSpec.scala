@@ -134,15 +134,16 @@ class PlanSpec extends AnyFunSuite {
       val p = plan(graft.operators.Ann.ivfPqQuery(index, emb,
         emb.filter(col("vec_id") < 4), 5, nProbe = 4, refine = 4))
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-      // the broadcast equi-join on cell must sit BENEATH the ADC
-      // MapPartitions: the tree prints parent-first, so a join deeper than
-      // the map node appears AFTER it in the string (the earlier
-      // BroadcastHashJoins are the rerank's, above the map) — only probed
-      // cells reach the compressed-domain scoring
+      // the probed-cell FILTER must sit BENEATH the ADC MapPartitions (the
+      // tree prints parent-first, so the deeper filter appears after the map
+      // in the string): only probed cells reach the compressed-domain
+      // scoring, and on a loaded (cell-partitioned) index the same predicate
+      // is partition pruning — unprobed cells are never read
       val mapIdx = p.indexOf("MapPartitions")
       assert(mapIdx >= 0, p.linesIterator.take(8).mkString("\n"))
-      assert(p.lastIndexOf("BroadcastHashJoin") > mapIdx,
-        s"cell restriction must sit beneath the ADC map:\n${p.linesIterator.take(25).mkString("\n")}")
+      val belowMap = p.substring(mapIdx)
+      assert(belowMap.contains("Filter") && belowMap.contains("cell#"),
+        s"probed-cell filter must sit beneath the ADC map:\n${p.linesIterator.take(25).mkString("\n")}")
     } finally index.release()
   }
 
