@@ -147,6 +147,26 @@ class PlanSpec extends AnyFunSuite {
     } finally index.release()
   }
 
+  test("IVFADC on a LOADED index: probed-cell predicate is parquet PARTITION PRUNING") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val built = graft.operators.Ann.buildIvfPqIndex(emb, nCells = 8, m = 8, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-prune").toString
+    graft.operators.Ann.saveIvfPqIndex(built, dir)
+    built.release()
+    val loaded = graft.operators.Ann.loadIvfPqIndex(spark, dir)
+    try {
+      val p = plan(graft.operators.Ann.ivfPqQuery(loaded, emb,
+        emb.filter(col("vec_id") < 2), 5, nProbe = 2, refine = 4))
+      // the cell-partitioned layout turns the filter into PartitionFilters
+      // on the codes scan: unprobed cells' files are never opened
+      val scanLine = p.linesIterator.find(l =>
+        l.contains("PartitionFilters") && l.contains("cell#"))
+      assert(scanLine.isDefined && scanLine.get.contains("cell#"),
+        s"expected PartitionFilters on cell for the loaded codes scan:\n" +
+          p.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+    } finally loaded.release()
+  }
+
   test("decontamination and boilerplate plans: equi-joins only, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val evalSet = docs.filter(col("doc_id") % 10 === 0)
