@@ -267,6 +267,17 @@ object SparkEntry {
         n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
+    // The n-gram-Jaccard SCALE path: hashed gram keys (8-byte chains) through
+    // the posting/prefix/verify joins; values identical to the string path,
+    // so it shares q_dedup_ngram's value-exact oracle and gets its own
+    // bench entry (the q_decontaminate_hashed pattern).
+    "q_dedup_ngram_hashed" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val dupes = base.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.ngramJaccardPairs(base.unionByName(dupes), "doc_id", "text",
+        n = 3, threshold = 0.8, hashGrams = true)
+        .orderBy("id_a", "id_b")
+    }),
     "q_ann_brute" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
@@ -554,6 +565,31 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM g WHERE id % 10 = 0))
         |SELECT id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
         |FROM tr JOIN ev USING (gram) GROUP BY id ORDER BY id""".stripMargin
+    val ngramJaccardSql =
+      """WITH base AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |tk AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM base),
+        |g AS (SELECT id, list_distinct(list_transform(
+        |        generate_series(0, greatest(len(toks) - 3, 0)),
+        |        i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS grams FROM tk),
+        |p AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+        |d AS (SELECT gram, count(*) AS df FROM p GROUP BY 1),
+        |pr AS (SELECT p.*, d.df, row_number() OVER (PARTITION BY id ORDER BY d.df, p.gram) AS pos
+        |       FROM p JOIN d USING (gram)),
+        |pf AS (SELECT id, gram, n_grams FROM pr WHERE pos <= n_grams - ceil(0.8 * n_grams) + 1),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM pf a JOIN pf b USING (gram)
+        |         WHERE a.id < b.id
+        |           AND CAST(least(a.n_grams, b.n_grams) AS DOUBLE) >=
+        |               0.8 * CAST(greatest(a.n_grams, b.n_grams) AS DOUBLE)),
+        |v AS (SELECT c.id_a, c.id_b,
+        |        len(list_intersect(ga.grams, gb.grams)) AS shared,
+        |        len(ga.grams) AS na, len(gb.grams) AS nb
+        |      FROM cand c JOIN g ga ON ga.id = c.id_a JOIN g gb ON gb.id = c.id_b)
+        |SELECT id_a, id_b, shared / CAST(na + nb - shared AS DOUBLE) AS jaccard
+        |FROM v WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
     Map(
       "kg_turns" ->
         s"WITH $turnsCte SELECT conv_id, turn_idx, role, text FROM turns ORDER BY conv_id, turn_idx",
@@ -848,31 +884,8 @@ object SparkEntry {
            |LEFT JOIN lbl l ON r.member = l.norm
            |ORDER BY norm""".stripMargin
       },
-      "q_dedup_ngram" ->
-        """WITH base AS (
-          |  SELECT doc_id AS id, text FROM documents
-          |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
-          |tk AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM base),
-          |g AS (SELECT id, list_distinct(list_transform(
-          |        generate_series(0, greatest(len(toks) - 3, 0)),
-          |        i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS grams FROM tk),
-          |p AS (SELECT id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
-          |d AS (SELECT gram, count(*) AS df FROM p GROUP BY 1),
-          |pr AS (SELECT p.*, d.df, row_number() OVER (PARTITION BY id ORDER BY d.df, p.gram) AS pos
-          |       FROM p JOIN d USING (gram)),
-          |pf AS (SELECT id, gram, n_grams FROM pr WHERE pos <= n_grams - ceil(0.8 * n_grams) + 1),
-          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          |         FROM pf a JOIN pf b USING (gram)
-          |         WHERE a.id < b.id
-          |           AND CAST(least(a.n_grams, b.n_grams) AS DOUBLE) >=
-          |               0.8 * CAST(greatest(a.n_grams, b.n_grams) AS DOUBLE)),
-          |v AS (SELECT c.id_a, c.id_b,
-          |        len(list_intersect(ga.grams, gb.grams)) AS shared,
-          |        len(ga.grams) AS na, len(gb.grams) AS nb
-          |      FROM cand c JOIN g ga ON ga.id = c.id_a JOIN g gb ON gb.id = c.id_b)
-          |SELECT id_a, id_b, shared / CAST(na + nb - shared AS DOUBLE) AS jaccard
-          |FROM v WHERE shared / CAST(na + nb - shared AS DOUBLE) >= 0.8
-          |ORDER BY id_a, id_b""".stripMargin,
+      "q_dedup_ngram" -> ngramJaccardSql,
+      "q_dedup_ngram_hashed" -> ngramJaccardSql,
       "q_fingerprint" ->
         """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents)
           |SELECT doc_id,

@@ -314,11 +314,24 @@ object Dedup {
       transform(sequence(lit(0), greatest(size(th) - n, lit(0))),
         i => aggregate(slice(th, i + 1, lit(n)), lit(42L), (acc, h) => xxhash64(acc, h))))
 
+  /** hashGrams = true is the 100 TB path (same construction as
+    * [[ngramContamination]]): gram keys are 8-byte token-hash chains, never
+    * strings, so the posting explode, df join, prefix self-join, and the
+    * final gram-set intersect all move longs. Jaccard VALUES are unchanged
+    * (gram equality ⇔ chain equality w.h.p., so set cardinalities match) —
+    * the hashed path shares the string path's value-exact oracle; the
+    * prefix-filter guarantee needs only a CONSISTENT global gram order,
+    * which (df asc, hash asc) provides just as (df asc, gram asc) did.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val grams = df
-      .select(col(idCol).cast("long").as("id"), tokArray(textCol).as("__toks"))
-      .select(col("id"), gramsFromToks(col("__toks"), n).as("grams"))
+      n: Int = 3, threshold: Double = 0.5, hashGrams: Boolean = false): DataFrame = {
+    val grams = (if (hashGrams)
+      df.select(col(idCol).cast("long").as("id"),
+        transform(tokArray(textCol), t => xxhash64(t)).as("__th"))
+        .select(col("id"), hashedGramsFromTokHashes(col("__th"), n).as("grams"))
+    else
+      df.select(col(idCol).cast("long").as("id"), tokArray(textCol).as("__toks"))
+        .select(col("id"), gramsFromToks(col("__toks"), n).as("grams")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = grams.select(col("id"), size(col("grams")).as("n_grams"),
       explode(col("grams")).as("gram"))

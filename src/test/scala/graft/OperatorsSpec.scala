@@ -152,6 +152,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashed-gram jaccard pairs equal the string path (scale-path equality)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words entirely here now"),
+      (4L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    def rows(hash: Boolean) =
+      Dedup.ngramJaccardPairs(base, "doc_id", "text", n = 2, threshold = 0.4,
+        hashGrams = hash)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    assert(rows(true) == rows(false))
+    assert(rows(true).nonEmpty)
+  }
+
   test("term-schema scanner is equivalent to word-boundary regex counting") {
     val terms = Seq("spark", "join", "agg", "query")
     val ex = graft.extract.Extractor.termExtractor(terms)
