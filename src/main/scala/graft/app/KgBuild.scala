@@ -248,6 +248,11 @@ object KgBuild {
       cfg: RunConfig,
       outDir: String,
       thresholds: QaThresholds = QaThresholds()): QaResult = {
+    // A crash inside a previous run's compensating rollback leaves a
+    // write-ahead marker (see rollbackRun); replay it to a clean state
+    // BEFORE reading the manifest, or the interrupted rollback's
+    // half-cleaned stages would feed resume and QA.
+    recoverPendingRollback(spark, outDir)
     val checks = Materializer.inputChecksums(turns, cfg.numPartitions)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val done = Materializer.completedPartitions(spark, outDir, "nodes", checks)
@@ -284,12 +289,11 @@ object KgBuild {
       // replaced partition is pending (no completion manifest row), hence
       // recomputable: a crash mid-overwrite just recomputes it again.
       val nodesPath = s"$outDir/nodes"
-      val existingPending =
-        (try Some(spark.read.parquet(nodesPath)) catch { case _: Throwable => None }) match {
-          case Some(prior) =>
-            prior.join(nodes.select("part_id").distinct(), Seq("part_id"), "left_semi")
-          case None => nodes.limit(0)
-        }
+      val existingPending = readParquetIfPresent(spark, nodesPath) match {
+        case Some(prior) =>
+          prior.join(nodes.select("part_id").distinct(), Seq("part_id"), "left_semi")
+        case None => nodes.limit(0)
+      }
       // localCheckpoint (eager) detaches the merged plan from the parquet
       // files the dynamic overwrite is about to replace — without it the
       // write would delete its own lazy input
@@ -346,57 +350,158 @@ object KgBuild {
     * run skip a partition whose data is gone — silent loss with a false pass.
     * Every completion row of a TOUCHED partition is therefore dropped,
     * forcing recompute of exactly those partitions.
+    *
+    * Crash safety is by WRITE-AHEAD INTENT + ordering, not luck:
+    *  1. a `_rollback_pending` marker (bad keys + touched part_ids) lands
+    *     atomically before anything is mutated — [[recoverPendingRollback]]
+    *     replays the whole (idempotent) rollback at the next run() if the
+    *     JVM dies anywhere inside it;
+    *  2. the `_manifest` completion rows are dropped FIRST, data second —
+    *     so a crash mid-rollback can only leave touched partitions
+    *     UNDER-claimed (recompute; always safe), never a false-complete
+    *     partition over deleted data;
+    *  3. the per-partition swap restores any staged-but-unrenamed partition
+    *     from a leftover `.rbtmp` tree before re-filtering (see
+    *     [[rollbackStagePartitions]]), so kept good-run rows survive a crash
+    *     between delete and rename.
     */
   def rollbackRun(spark: SparkSession, outDir: String, badRunKeys: Seq[String]): Unit = {
-    import spark.implicits._
-    val manifestPath = s"$outDir/_manifest"
-    val manifest =
-      try Some(spark.read.parquet(manifestPath)) catch { case _: Throwable => None }
     // Bounded collect: one int per (stage, part_id) the failed run completed.
-    val touched: Seq[Int] = manifest match {
+    // A transient manifest read failure propagates (readParquetIfPresent):
+    // it must not be mistaken for "no manifest = nothing to roll back",
+    // which would silently skip the compensating delete entirely.
+    val touched: Seq[Int] = readParquetIfPresent(spark, s"$outDir/_manifest") match {
       case Some(m) => m.filter(col("run_key").isin(badRunKeys: _*))
         .select("part_id").distinct().collect().map(_.getInt(0)).toSeq.sorted
       case None => Seq.empty
     }
+    writeRollbackMarker(spark, outDir, badRunKeys, touched)
+    executeRollback(spark, outDir, badRunKeys, touched)
+    clearRollbackMarker(spark, outDir)
+  }
+
+  /** The marker-bracketed body of [[rollbackRun]]; idempotent, so
+    * [[recoverPendingRollback]] can replay it verbatim after a crash.
+    */
+  private[graft] def executeRollback(spark: SparkSession, outDir: String,
+      badRunKeys: Seq[String], touched: Seq[Int]): Unit = {
+    import spark.implicits._
+    // 1. Invalidate completion rows BEFORE touching any data: over-
+    //    invalidation only forces recompute, while the reverse order could
+    //    leave a surviving completion row over already-deleted data if the
+    //    JVM dies between the two (false-complete partition = silent loss).
+    invalidateManifest(spark, outDir, badRunKeys, touched)
+    // 2. Swap-rewrite only the touched partitions of each data stage.
     val bad = badRunKeys.toDF("ingest_run_key")
     if (touched.nonEmpty) PartitionedStages.foreach { stage =>
       rollbackStagePartitions(spark, outDir, stage, bad, touched)
     }
-    if (manifest.isDefined)
-      rollbackStageFiltered(spark, outDir, "_manifest",
-        df => df.filter(!(col("run_key").isin(badRunKeys: _*) ||
-          col("part_id").isin(touched: _*))))
-    // _metrics rows are per-run observability records: only the failed run's
-    // own rows are lies; earlier runs' metrics describe writes that happened.
+    // 3. _metrics rows are per-run observability records: only the failed
+    //    run's own rows are lies; earlier runs' metrics describe writes that
+    //    happened.
     rollbackStageFiltered(spark, outDir, "_metrics",
       df => df.filter(!col("run_key").isin(badRunKeys: _*)))
   }
 
+  /** Step 1 of [[executeRollback]]: drop every completion row of the bad
+    * runs AND of every touched partition (see [[rollbackRun]]'s wide-
+    * invalidation rationale). Package-visible so the crash test can stage
+    * the exact "invalidated but data not yet swapped" window.
+    */
+  private[graft] def invalidateManifest(spark: SparkSession, outDir: String,
+      badRunKeys: Seq[String], touched: Seq[Int]): Unit =
+    if (readParquetIfPresent(spark, s"$outDir/_manifest").isDefined)
+      rollbackStageFiltered(spark, outDir, "_manifest",
+        df => df.filter(!(col("run_key").isin(badRunKeys: _*) ||
+          col("part_id").isin(touched: _*))))
+
+  private def rollbackMarkerPath(outDir: String) =
+    new org.apache.hadoop.fs.Path(s"$outDir/_rollback_pending")
+
+  /** Atomically (write-tmp + rename) persist the rollback intent: line 1 =
+    * URL-encoded bad run keys (tab-separated), line 2 = touched part_ids
+    * (comma-separated). Package-visible so the crash test can stage one.
+    */
+  private[graft] def writeRollbackMarker(spark: SparkSession, outDir: String,
+      badRunKeys: Seq[String], touched: Seq[Int]): Unit = {
+    val fs = rollbackMarkerPath(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_rollback_pending.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (badRunKeys.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("\t") + "\n" +
+        touched.mkString(",") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = rollbackMarkerPath(outDir)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  private[graft] def clearRollbackMarker(spark: SparkSession, outDir: String): Unit = {
+    val p = rollbackMarkerPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** If a previous rollback crashed mid-flight, its `_rollback_pending`
+    * marker survives — replay the full rollback (idempotent) and only then
+    * clear the marker. Called at every run() start.
+    */
+  def recoverPendingRollback(spark: SparkSession, outDir: String): Unit = {
+    val p = rollbackMarkerPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split("\n", -1)
+    val keys = lines.headOption.map(_.split("\t").toSeq.filter(_.nonEmpty)
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))).getOrElse(Seq.empty)
+    val touched = lines.lift(1).map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toInt))
+      .getOrElse(Seq.empty)
+    if (keys.nonEmpty) executeRollback(spark, outDir, keys, touched)
+    clearRollbackMarker(spark, outDir)
+  }
+
+  private[graft] def readParquetIfPresent(
+      spark: SparkSession, path: String): Option[DataFrame] =
+    Materializer.readParquetIfPresent(spark, path)
+
   /** Swap-rewrite of ONLY the touched part_id directories of one partitioned
     * stage: read the touched partitions (pruned), drop the bad runs' rows,
     * stage the kept rows to a tmp tree, then per-partition delete+rename.
-    * The kept data is fully on disk before any original partition is removed,
-    * so a crash mid-swap loses at most the not-yet-swapped partitions'
-    * filtering — never the kept rows — and their manifest rows are removed
-    * afterwards, forcing recompute.
+    * The kept data is fully on disk before any original partition is removed.
+    *
+    * Self-healing on entry: a leftover `.rbtmp` tree means a previous swap
+    * crashed. Partition deletes only start after the tmp write completed, and
+    * each partition is deleted and immediately renamed — so at most one
+    * partition can be staged-in-tmp with its destination already deleted.
+    * Restoring exactly those (dst missing, tmp part present) before dropping
+    * the tmp tree re-enters the kept rows, and the replayed filter is a
+    * no-op on them. Never loses kept rows, at any crash point.
     */
-  private def rollbackStagePartitions(spark: SparkSession, outDir: String,
+  private[graft] def rollbackStagePartitions(spark: SparkSession, outDir: String,
       stage: String, bad: DataFrame, touched: Seq[Int]): Unit = {
     val path = s"$outDir/$stage"
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.rbtmp")
+    if (fs.exists(tmp)) {
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part_id=")).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")
+        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+      }
+      fs.delete(tmp, true)
+    }
     // a previous full rollback can leave the dir with no data files at all
     // (schema unreadable) — nothing to rewrite then
-    val src =
-      try spark.read.parquet(path)
-      catch { case _: org.apache.spark.sql.AnalysisException => return }
-    val kept = src
+    val srcOpt = readParquetIfPresent(spark, path)
+    if (srcOpt.isEmpty) return
+    val kept = srcOpt.get
       .filter(col("part_id").isin(touched: _*)) // partition-pruned
       .join(bad, Seq("ingest_run_key"), "left_anti")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.rbtmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
     // Preserves the partitioned layout (round-3 finding: an unpartitioned
     // rewrite here corrupted the next run's resume + MERGE compaction).
     kept.write.mode(SaveMode.Overwrite).partitionBy("part_id").parquet(tmp.toString)
@@ -422,6 +527,12 @@ object KgBuild {
     * on-disk `part_id=` partitioned layout (round-3 finding: losing it made
     * the next run's partition discovery read the mixed tree as unpartitioned,
     * dropping part_id values and corrupting resume + MERGE compaction).
+    *
+    * Crash recovery on entry: the filtered tree is fully staged at
+    * `<path>.tmp` before the original is deleted, so a crash between delete
+    * and rename leaves (missing path, complete tmp) — finish the rename. A
+    * crash mid-tmp-write leaves (path intact, stale tmp) — the overwrite
+    * below replaces the stale tmp.
     */
   private def rollbackStageFiltered(spark: SparkSession, outDir: String, stage: String,
       keep: DataFrame => DataFrame): Unit = {
@@ -429,7 +540,10 @@ object KgBuild {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return
+    val staged = new org.apache.hadoop.fs.Path(s"$path.tmp")
+    if (!fs.exists(p)) {
+      if (fs.exists(staged)) fs.rename(staged, p) else return
+    }
     val kept = keep(spark.read.parquet(path))
       .persist(StorageLevel.MEMORY_AND_DISK)
     kept.count() // force before overwriting the source

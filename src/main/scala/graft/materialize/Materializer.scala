@@ -128,21 +128,41 @@ object Materializer {
     manifest.write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
   }
 
+  /** Read a parquet dir if present AND readable as data; a missing path or a
+    * schema-less (emptied) dir is None. Any OTHER failure propagates — a
+    * transient FS error is not "no data", and treating it as such would
+    * silently skip resume merging or rollback (a completed partition would
+    * recompute at best, a failed run's rows would survive at worst).
+    */
+  def readParquetIfPresent(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.contains("UNABLE_TO_INFER_SCHEMA") || c.contains("PATH_NOT_FOUND")) =>
+          None
+      }
+  }
+
   /** part_ids already completed for a stage under matching input checksums. */
   def completedPartitions(
       spark: SparkSession,
       outDir: String,
       stage: String,
       inputChecksums: DataFrame): DataFrame = {
-    val path = s"$outDir/_manifest"
-    val manifest =
-      try spark.read.parquet(path)
-      catch { case _: Throwable => return inputChecksums.select("part_id").limit(0) }
-    manifest
-      .filter(col("stage") === stage)
-      .join(inputChecksums, Seq("part_id", "input_checksum"))
-      .select("part_id")
-      .distinct()
+    readParquetIfPresent(spark, s"$outDir/_manifest") match {
+      case None => inputChecksums.select("part_id").limit(0)
+      case Some(manifest) =>
+        manifest
+          .filter(col("stage") === stage)
+          .join(inputChecksums, Seq("part_id", "input_checksum"))
+          .select("part_id")
+          .distinct()
+    }
   }
 
   /** Per-partition input checksum: order-insensitive aggregate of per-row

@@ -242,6 +242,79 @@ class ResumeSpec extends AnyFunSuite {
     assert(tripleSet(dir) == tripleSet(freshDir))
   }
 
+  test("mid-rollback crash: marker replay recovers — no false-complete partition, kept rows survive") {
+    import spark.implicits._
+    val turns = TranscriptGen.table(spark, 12L).toDF().cache()
+    val dir = Files.createTempDirectory("graft-rbcrash").toString
+    assert(KgBuild.run(spark, turns, cfg.copy(runKey = "kg:crash-a"), dir).status == "pass")
+
+    // widen the input inside ONE partition so the "failed" run touches only it
+    val hotPart = 1
+    val extraIds = (0 until 100).map(i => s"conv-xtra-$i").toDF("conv_id")
+      .withColumn("p", Materializer.partId("conv_id", cfg.numPartitions))
+      .collect().filter(_.getInt(1) == hotPart).map(_.getString(0)).take(2).toSeq
+    assert(extraIds.size == 2)
+    val extraTurns = extraIds.zipWithIndex.flatMap { case (id, i) =>
+      graft.source.TranscriptGen.conversation(200L + i).map(_.turn.copy(conv_id = id))
+    }.toDF()
+    val widened = turns.unionByName(extraTurns).cache()
+    assert(KgBuild.run(spark, widened, cfg.copy(runKey = "kg:crash-bad"), dir)
+      .status == "pass")
+
+    // Simulate: QA declared kg:crash-bad failed and the compensating
+    // rollback CRASHED mid-flight, at the worst reachable state under the
+    // marker-first/manifest-first ordering:
+    //   marker written, manifest invalidated, nodes fully swapped, and the
+    //   edges swap interrupted BETWEEN delete and rename (kept rows exist
+    //   only in edges.rbtmp). chunks/turn_checksums untouched.
+    val badKeys = Seq("kg:crash-bad")
+    val touched = spark.read.parquet(s"$dir/_manifest")
+      .filter(col("run_key") === "kg:crash-bad")
+      .select("part_id").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    assert(touched == Seq(hotPart))
+    KgBuild.writeRollbackMarker(spark, dir, badKeys, touched)
+    KgBuild.invalidateManifest(spark, dir, badKeys, touched)
+    KgBuild.rollbackStagePartitions(spark, dir, "nodes",
+      badKeys.toDF("ingest_run_key"), touched)
+    val edgesPath = s"$dir/edges"
+    val keptEdges = spark.read.parquet(edgesPath)
+      .filter(col("part_id") === hotPart &&
+        col("ingest_run_key") =!= "kg:crash-bad")
+      .localCheckpoint() // detach from the files we are about to delete
+    assert(keptEdges.count() > 0, "fixture: partition must hold kept good-run rows")
+    keptEdges.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("part_id").parquet(s"$edgesPath.rbtmp")
+    fsOf(dir).delete(new org.apache.hadoop.fs.Path(s"$edgesPath/part_id=$hotPart"), true)
+
+    // THE invariant the reordering buys: at every crash point, the touched
+    // partition has NO surviving completion row (recompute, never skip)
+    val midManifest = spark.read.parquet(s"$dir/_manifest")
+    assert(midManifest.filter(col("part_id") === hotPart).count() == 0,
+      "crash window exposed a false-complete partition")
+    // and the crash really did leave half-cleaned stages behind
+    assert(spark.read.parquet(s"$dir/chunks")
+      .filter(col("ingest_run_key") === "kg:crash-bad").count() > 0)
+
+    // next run replays the marker, restores the staged kept rows, recomputes
+    val qa = KgBuild.run(spark, widened, cfg.copy(runKey = "kg:crash-retry"), dir)
+    assert(qa.status == "pass")
+    assert(!fsOf(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/_rollback_pending")))
+    KgBuild.PartitionedStages.foreach { stage =>
+      assert(!fsOf(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/$stage.rbtmp")),
+        s"$stage.rbtmp left behind")
+      assert(spark.read.parquet(s"$dir/$stage")
+        .filter(col("ingest_run_key") === "kg:crash-bad").count() == 0,
+        s"$stage still holds crashed-rollback run rows")
+    }
+    // full triple set: identical to an uninterrupted fresh run on the same input
+    val freshDir = Files.createTempDirectory("graft-rbcrash-fresh").toString
+    assert(KgBuild.run(spark, widened, cfg.copy(runKey = "kg:crash-fresh"), freshDir)
+      .status == "pass")
+    assert(tripleSet(dir) == tripleSet(freshDir))
+    assert(spark.read.parquet(s"$dir/nodes")
+      .groupBy("part_id", "id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("rollback removes exactly the bad run's rows") {
     import spark.implicits._
     val turns = TranscriptGen.table(spark, 6L).toDF().cache()
