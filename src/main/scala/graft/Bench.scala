@@ -104,21 +104,34 @@ object Bench {
     val (nTurns, nTriples, _) = measured.head
     val triplesPerSec = nTriples / kgSec
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+    // Per-query WARM discipline (round-4 finding: a single cold-JIT,
+    // steal-exposed execution checked a 42.5 s outlier in as the number of
+    // record for a query whose warm floor is ~4 s). Each query runs TWICE
+    // in-JVM; the min is the reported number and the full trail is emitted,
+    // so a contaminated execution is self-evident in the artifact instead of
+    // silently becoming the headline — same policy kg_run_sec already has.
+    val trails = SparkEntry.queries.map { case (name, fn) =>
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> ts
     }
+    val results = trails.map { case (name, ts) => name -> ts.min }
     val qs = (results ++ Map("kg_pipeline_e2e" -> kgSec))
       .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val trailsJson = trails
+      .map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.values.sum + kgSec
     val warmJson = warmups.mkString("[", ",", "]")
     val runsJson = runSecs.mkString("[", ",", "]")
     println(
-      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize)","value":$triplesPerSec,"unit":"triples/sec","total_sec":$total,"kg_turns":$nTurns,"kg_triples":$nTriples,"kg_convs":$headlineConvs,"kg_warmup_sec":$warmJson,"kg_run_sec":$runsJson,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"end-to-end triples/sec (extract->link->canonicalize->materialize)","value":$triplesPerSec,"unit":"triples/sec","total_sec":$total,"kg_turns":$nTurns,"kg_triples":$nTriples,"kg_convs":$headlineConvs,"kg_warmup_sec":$warmJson,"kg_run_sec":$runsJson,"queries":$qs,"query_trails":$trailsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.app.AskServer --graph /tmp/kg --port 8080
   *        [--bind 127.0.0.1]   (loopback default; wildcard is an opt-in)
+  *        [--token <secret>]   (or GRAFT_ASK_TOKEN; enables static bearer
+  *                              auth on /ask and /fetch — /health stays open)
   */
 object AskServer {
 
@@ -65,14 +67,38 @@ object AskServer {
         respond(ex, 500, """{"error":"internal error"}""")
     }
 
+  /** Static-bearer-token check (the reference's static-token auth mode on
+    * its MCP/HTTP surface, ref:src/fancyrag/mcp/runtime.py:275-342). With no
+    * token configured every request passes (loopback dev mode); with one,
+    * the query endpoints require `Authorization: Bearer <token>` —
+    * constant-time compare, so the token can't be recovered byte-by-byte
+    * through response timing. /health stays open (liveness probes don't
+    * carry credentials).
+    */
+  private def authorized(ex: HttpExchange, token: Option[String]): Boolean =
+    token.forall { t =>
+      Option(ex.getRequestHeaders.getFirst("Authorization")).exists(h =>
+        java.security.MessageDigest.isEqual(
+          h.getBytes(StandardCharsets.UTF_8),
+          s"Bearer $t".getBytes(StandardCharsets.UTF_8)))
+    }
+
+  private def requireAuth(ex: HttpExchange, token: Option[String])(body: => Unit): Unit =
+    if (authorized(ex, token)) body
+    else {
+      ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+      respond(ex, 401, """{"error":"unauthorized"}""")
+    }
+
   /** Start the server (port 0 = ephemeral; read the bound port off the
     * returned server). One Spark session serves every request. Binds
     * loopback by default — exposing an unauthenticated query surface on a
-    * wildcard interface is an explicit `--bind 0.0.0.0` opt-in. Handlers run
+    * wildcard interface is an explicit `--bind 0.0.0.0` opt-in; pair it with
+    * `token` (static bearer auth) when leaving loopback. Handlers run
     * on a small pool so a slow /ask never blocks /health.
     */
   def start(spark: SparkSession, graphDir: String, port: Int,
-      bind: String = "127.0.0.1"): HttpServer = {
+      bind: String = "127.0.0.1", token: Option[String] = None): HttpServer = {
     // Load the MERGE-clean graph view ONCE, cached and warmed: per-request
     // work is then only the query itself, which is what keeps the warm /ask
     // round-trip inside the 1.5 s serving budget AskSpec enforces.
@@ -83,7 +109,7 @@ object AskServer {
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
     server.createContext("/ask", (ex: HttpExchange) =>
-      handleSafely(ex) {
+      handleSafely(ex) { requireAuth(ex, token) {
         val p = params(ex)
         val q = p.getOrElse("q", "")
         if (q.isEmpty) respond(ex, 400, """{"error":"missing q"}""")
@@ -106,9 +132,9 @@ object AskServer {
           respond(ex, 200,
             s"""{"question":"${jsonEscape(q)}","matches":${items.mkString("[", ",", "]")}}""")
         }
-      })
+      } })
     server.createContext("/fetch", (ex: HttpExchange) =>
-      handleSafely(ex) {
+      handleSafely(ex) { requireAuth(ex, token) {
         val p = params(ex)
         p.get("id") match {
           case None => respond(ex, 400, """{"error":"missing id"}""")
@@ -122,7 +148,7 @@ object AskServer {
             }
             respond(ex, 200, items.mkString("[", ",", "]"))
         }
-      })
+      } })
     server.start()
     server
   }
@@ -132,6 +158,9 @@ object AskServer {
     val graphDir = a.getOrElse("graph", "/tmp/graft-kg-out")
     val bind = a.getOrElse("bind", "127.0.0.1")
     val port = a.get("port").map(_.toInt).getOrElse(8080)
+    // static bearer token: --token beats the env var; neither = open
+    // (loopback dev mode)
+    val token = a.get("token").orElse(sys.env.get("GRAFT_ASK_TOKEN"))
     val spark = SparkSession.builder()
       .config("spark.master",
         sys.props.getOrElse("spark.master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
@@ -140,7 +169,7 @@ object AskServer {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = start(spark, graphDir, port, bind)
+    val server = start(spark, graphDir, port, bind, token)
     println(s"""{"serving":"http://localhost:${server.getAddress.getPort}","graph":"$graphDir"}""")
     Thread.currentThread.join() // serve until killed
   }

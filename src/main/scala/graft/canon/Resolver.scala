@@ -102,9 +102,22 @@ object Resolver {
     // in sc.getPersistentRDDs after this function returns (pinned by
     // ResolverSpec); the bounded checkpoint files live until JVM exit — at
     // production scale the checkpoint dir is cluster storage with retention.
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    // The driver-local temp default is only valid on local[*] masters: on a
+    // real cluster, executors would write reliable checkpoint files into
+    // their OWN non-shared local paths, silently corrupting the returned
+    // checkpoint-backed labels table. There the caller must point
+    // sc.setCheckpointDir at cluster storage (HDFS/object store) — fail
+    // fast with that instruction rather than return unreadable data.
+    if (sc.getCheckpointDir.isEmpty) {
+      if (sc.master.startsWith("local"))
+        sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+      else
+        throw new IllegalStateException(
+          "connectedComponents needs a RELIABLE checkpoint dir on a cluster " +
+            s"master (${sc.master}): call sc.setCheckpointDir(<shared fs path>) " +
+            "first — a driver-local temp dir is not visible to executors")
+    }
     def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()

@@ -246,15 +246,23 @@ object Ann {
     index.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.cells.write.mode("overwrite").parquet(s"$path/cells")
+    // partitioned by cell for the same reason as saveIvfPqIndex: the query's
+    // probed-cell predicate becomes parquet partition pruning on reload
+    index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
-  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+  /** `cache = false` default: see [[loadIvfPqIndex]] — a plain scan keeps the
+    * probed-cell filter a partition-pruning read (the 100 TB default).
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      cache: Boolean = false): IvfIndex = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
-    val cells = spark.read.parquet(s"$path/cells")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = spark.read.parquet(s"$path/cells")
+    val cells =
+      if (cache) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
     IvfIndex(cents, cells)
   }
 
@@ -273,14 +281,20 @@ object Ann {
     index.codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
-  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+  /** PQ's ADC is a full scan either way (no cell structure), so `cache` is
+    * purely the fits-in-memory/query-many trade — default off at scale.
+    */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      cache: Boolean = false): PqIndex = {
     import spark.implicits._
     val rows = spark.read.parquet(s"$path/codebooks")
       .as[(Int, Int, Array[Float])].collect()
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, cws) => cws.sortBy(_._2).map(_._3) }.toArray
-    val codes = spark.read.parquet(s"$path/codes")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = spark.read.parquet(s"$path/codes")
+    val codes =
+      if (cache) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
     PqIndex(books, codes)
   }
 
@@ -674,7 +688,19 @@ object Ann {
     index.coded.write.mode("overwrite").partitionBy("cell").parquet(s"$path/coded")
   }
 
-  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+  /** `cache = false` (default) keeps the coded table a plain parquet scan,
+    * so [[ivfPqQuery]]'s probed-cell predicate becomes genuine PARTITION
+    * PRUNING — unprobed cells' files are never opened (PlanSpec pins the
+    * scan's partitionFilters AND its files-read metric). This is the 100 TB
+    * default: the codes of a web-scale corpus don't fit executor memory, and
+    * the pruned scan reads nProbe/nCells of the index per batch. `cache =
+    * true` trades that for an in-memory codes table — worth it only when the
+    * whole index fits and query batches arrive continuously (a dedicated
+    * serving cluster); note a CACHED relation is filtered per batch AFTER
+    * materialization (InMemoryTableScan), not file-pruned.
+    */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      cache: Boolean = false): IvfPqIndex = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
@@ -682,8 +708,10 @@ object Ann {
       .as[(Int, Int, Array[Float])].collect()
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, cws) => cws.sortBy(_._2).map(_._3) }.toArray
-    val coded = spark.read.parquet(s"$path/coded")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = spark.read.parquet(s"$path/coded")
+    val coded =
+      if (cache) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
     IvfPqIndex(cents, books, coded)
   }
 

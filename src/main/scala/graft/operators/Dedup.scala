@@ -388,7 +388,7 @@ object Dedup {
       textCol: String, n: Int = 13, hashGrams: Boolean = false): DataFrame = {
     // hashGrams = true is the 100 TB path: gram keys are 8-byte token-hash
     // chains built WITHOUT constructing gram strings at all
-    // ([[hashedGramArray]]), so both the per-row gram work and everything
+    // ([[hashedGramsFromTokHashes]]), so both the per-row gram work and everything
     // downstream (distinct, explode, shuffle, join, aggregate) move longs
     // instead of ~6n-char strings. A cross-gram hash collision could
     // overcount by 1 in ~2^-64 — the string form stays the oracle variant

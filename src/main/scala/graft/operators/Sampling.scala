@@ -69,9 +69,12 @@ object Sampling {
     * independently of batch size (shards are packed independently).
     */
   /** Ids must be UNIQUE and NUMERIC: the cumsum orders by id, so a duplicate
-    * id would make "the preceding documents" ambiguous, and a non-numeric id
-    * has no shard. Both fail loudly (runtime raise_error / the ROWS frame
-    * below) instead of silently diverging from the sequential contract.
+    * id would make "the preceding documents" ambiguous (a ROWS frame just
+    * breaks ties nondeterministically), and a non-numeric id has no shard.
+    * Both fail loudly at runtime (raise_error) instead of silently diverging
+    * from the sequential contract: duplicates are ADJACENT in the window's
+    * own (shard, id) order, so the uniqueness check is one lag() over the
+    * already-required sort — no extra exchange.
     */
   def packBatches(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, numShards: Int): DataFrame = {
@@ -83,6 +86,8 @@ object Sampling {
       .partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
     val idLong = col(idCol).cast("long")
     df.withColumn("shard",
         when(col(idCol).isNotNull && idLong.isNull,
@@ -91,8 +96,15 @@ object Sampling {
           .otherwise(pmod(idLong, lit(numShards.toLong))))
       .withColumn("__cum_before",
         coalesce(sum(col(tokenCol)).over(w) - col(tokenCol), lit(0L)))
-      .withColumn("batch_in_shard", floor(col("__cum_before") / budget).cast("long"))
-      .drop("__cum_before")
+      .withColumn("__prev_id", lag(col(idCol), 1).over(wRow))
+      // the guard lives INSIDE the consumed batch column (a standalone
+      // guard column would be pruned before it could raise)
+      .withColumn("batch_in_shard",
+        when(col("__prev_id").isNotNull && col("__prev_id") === col(idCol),
+          raise_error(concat(lit(s"packBatches: duplicate id in '$idCol': "),
+            col(idCol).cast("string"))).cast("long"))
+          .otherwise(floor(col("__cum_before") / budget).cast("long")))
+      .drop("__cum_before", "__prev_id")
   }
 
   /** Oracle variant: u = first 8 hex chars of md5(CAST(id AS STRING)) as a

@@ -64,6 +64,41 @@ class AskSpec extends AnyFunSuite {
     }
   }
 
+  test("static bearer token: 401 without/with wrong token, 200 with it, /health open") {
+    val dir = Files.createTempDirectory("graft-askauth").toString
+    val turns = TranscriptGen.table(spark, 6L).toDF()
+    assert(KgBuild.run(spark, turns,
+      RunConfig(runKey = "kg:askauth", numPartitions = 2), dir).status == "pass")
+    val server = graft.app.AskServer.start(spark, dir, port = 0,
+      token = Some("s3cr3t-token"))
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String, auth: Option[String]): (Int, String) = {
+        val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        auth.foreach(a => b.header("Authorization", a))
+        val resp = client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      val askPath = "/ask?q=Who%20founded%20Acme%20Corp%3F&k=3"
+      // no credentials / wrong scheme / wrong token -> 401, nothing leaks
+      assert(get(askPath, None) == ((401, """{"error":"unauthorized"}""")))
+      assert(get(askPath, Some("Basic s3cr3t-token"))._1 == 401)
+      assert(get(askPath, Some("Bearer wrong"))._1 == 401)
+      assert(get("/fetch?id=ent:Company:acme", None)._1 == 401)
+      // the right token serves normally
+      val (code, body) = get(askPath, Some("Bearer s3cr3t-token"))
+      assert(code == 200 && body.contains("\"matches\":[{\"chunk_uid\":"), body.take(200))
+      assert(get("/fetch?id=ent:Company:acme", Some("Bearer s3cr3t-token"))._1 == 200)
+      // liveness probe carries no credentials and must stay open
+      assert(get("/health", None) == ((200, """{"status":"ok"}""")))
+    } finally {
+      server.stop(0)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("warm /ask meets the 1.5 s serving budget over the wire") {
     // The reference CI's hybrid-search latency contract
     // (ref:tests/smoke/test_stack.py:18-19, SMOKE_LATENCY_BUDGET_SECONDS;

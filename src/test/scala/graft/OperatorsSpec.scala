@@ -353,6 +353,15 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id", "batch_in_shard").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L), got.toString)
+    // duplicate ids make "the preceding documents" ambiguous — must raise,
+    // not pack nondeterministically among the tied rows
+    val dup = Seq((0L, 4L), (1L, 4L), (1L, 5L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Sampling.packBatches(dup, "doc_id", "n_tokens", budget = 10L, numShards = 1)
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("duplicate id"),
+      s"expected a duplicate-id raise, got: ${e.getMessage}")
   }
 
   test("ngram contamination flags train docs overlapping the eval set") {
