@@ -58,7 +58,29 @@ object AnnScaleProbe {
     }
     println(f"[annscale] recall@10 pq=${recall(Ann.pqQuery(pq, corpus, queries, 10, refine = 8))}%.3f " +
       f"ivfpq=${recall(Ann.ivfPqQuery(ivfpq, corpus, queries, 10, nProbe = 8, refine = 8))}%.3f")
-    pq.release(); ivfpq.release()
+
+    // Loaded-from-disk serving shape: save the IVFADC index (cell-partitioned
+    // parquet), load it UNCACHED so the probed-cell predicate is genuine
+    // partition pruning, and time query batches against the on-disk inverted
+    // list. This is the 100 TB path — codes never resident, nProbe/nCells of
+    // the files opened per batch (PlanSpec pins the numFiles metric; this
+    // reports the resulting latency at a scan-dominant corpus size).
+    val idxDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "annscale-ivfpq").toString
+    try {
+      time(s"save IVFADC index (cell-partitioned)")(Ann.saveIvfPqIndex(ivfpq, idxDir))
+      pq.release(); ivfpq.release()
+      val loaded = Ann.loadIvfPqIndex(spark, idxDir) // cache = false
+      (1 to 3).foreach { i =>
+        time(s"LOADED IVFADC query batch $i (pruned)")(
+          Ann.ivfPqQuery(loaded, corpus, queries, 10, nProbe = 8, refine = 8).count())
+      }
+      println(f"[annscale] recall@10 loaded=${
+        recall(Ann.ivfPqQuery(loaded, corpus, queries, 10, nProbe = 8, refine = 8))}%.3f")
+      loaded.release()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir)); ()
+    }
     spark.stop()
   }
 }
