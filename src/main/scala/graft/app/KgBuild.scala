@@ -113,21 +113,37 @@ object KgBuild {
     val mentions = gazMentions.unionByName(candMentions)
 
     // ---- link ----
+    // Shuffled-regime skew contract: measure the probe side's heavy hitters
+    // ONCE (a partial-aggregated groupBy — the shuffle moves distinct norms,
+    // not mention rows) and salt only those keys in all three link joins.
+    // Mention norms and relation subj/obj norms come from the same scans of
+    // the same turns, so one measurement covers all three probes. Targeted
+    // salting makes a bigger salt factor affordable (amplification is
+    // |hot| x salt, not |canonical| x salt), so the salt is raised to the
+    // shuffle parallelism — a hot key then spreads across every reducer.
+    // Under broadcast nothing partitions, so nothing is measured or salted.
+    val (linkSalt, hotNorms) =
+      if (broadcastCanonical) (cfg.saltBuckets, None)
+      else {
+        val parallelism = spark.sessionState.conf.numShufflePartitions
+        (math.max(cfg.saltBuckets, parallelism),
+          Some(EntityLinker.heavyHitters(mentions, "norm", parallelism)))
+      }
     val linkedMentions = EntityLinker
-      .link(mentions, "norm", "mention_id", canonical, cfg.saltBuckets,
-        broadcastBuild = broadcastCanonical)
+      .link(mentions, "norm", "mention_id", canonical, linkSalt,
+        broadcastBuild = broadcastCanonical, hotKeys = hotNorms)
       .filter(col("canon_norm").isNotNull)
     val relsWithId = relCands.withColumn("rel_id",
       xxhash64(col("conv_id"), col("turn_idx"), col("subj_norm"), col("pred"), col("obj_norm")))
     val subjLinked = EntityLinker
-      .link(relsWithId, "subj_norm", "rel_id", canonical, cfg.saltBuckets,
-        broadcastBuild = broadcastCanonical)
+      .link(relsWithId, "subj_norm", "rel_id", canonical, linkSalt,
+        broadcastBuild = broadcastCanonical, hotKeys = hotNorms)
       .withColumnRenamed("canon_norm", "subj_canon_norm")
       .withColumnRenamed("canon_name", "subj_name")
       .withColumnRenamed("canon_label", "subj_label")
     val relations = EntityLinker
-      .link(subjLinked, "obj_norm", "rel_id", canonical, cfg.saltBuckets,
-        broadcastBuild = broadcastCanonical)
+      .link(subjLinked, "obj_norm", "rel_id", canonical, linkSalt,
+        broadcastBuild = broadcastCanonical, hotKeys = hotNorms)
       .withColumnRenamed("canon_norm", "obj_canon_norm")
       .withColumnRenamed("canon_name", "obj_name")
       .withColumnRenamed("canon_label", "obj_label")
