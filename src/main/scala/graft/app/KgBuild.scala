@@ -67,7 +67,10 @@ object KgBuild {
     val turnChecksums = arts
       .select(col("conv_id"), explode(col("turn_checksums")).as("tc"))
       .select(col("conv_id"), col("tc.turn_idx"), col("tc.checksum"))
-    val gazMentions = arts.select(explode(col("mentions")).as("m")).select("m.*")
+    // Mentions carry their containing chunk_uid out of the fused pass
+    // (ConvStage.MentionOut) — entity provenance needs no turn→chunk join.
+    val gazMentions = arts.select(explode(col("mentions")).as("m"))
+      .select(col("m.m.*"), col("m.chunk_uid"))
     val relCands = arts.select(col("conv_id"), col("doc_checksum"),
       explode(col("rels")).as("r"))
       .select(col("conv_id"), col("doc_checksum"), col("r.turn_idx"),
@@ -81,7 +84,8 @@ object KgBuild {
     // OOD norms), so their CC closure is the identity and is skipped; the
     // distributed fixpoint still resolves the gazetteer alias chains and the
     // minhash dedup graphs.
-    val candMentions = arts.select(explode(col("candidates")).as("m")).select("m.*")
+    val candMentions = arts.select(explode(col("candidates")).as("m"))
+      .select(col("m.m.*"), col("m.chunk_uid"))
     val gazCanon = Resolver.canonicalEntities(spark)
     val candCanon = candMentions
       .groupBy(col("norm"))
@@ -170,11 +174,11 @@ object KgBuild {
       col("conv_id"))
     // entity provenance: sorted chunk_uids of the chunks whose turns mention
     // the entity (ref:_annotate_semantic_graph, pipeline.py:568-611);
-    // assignment came free from the fused pass
-    val turnChunks = chunksRaw.select(col("conv_id"), col("chunk_uid"),
-      explode(col("turn_idxs")).as("turn_idx"))
+    // the chunk_uid rode out of the fused pass on each mention row
+    // (ConvStage.MentionOut), so provenance costs ZERO joins here — before
+    // round 5 this was a shuffle join of two turn-scale tables
+    // (linkedMentions x exploded turn→chunk map) on (conv_id, turn_idx).
     val mentionChunks = linkedMentions
-      .join(turnChunks, Seq("conv_id", "turn_idx"), "left")
     // git-SHA provenance stamp on semantic nodes/edges (F9,
     // ref:src/fancyrag/kg/pipeline.py:471-487) — only when the caller
     // resolved one, so the engine stays config-free by default
@@ -204,9 +208,11 @@ object KgBuild {
       lit("HAS_CHUNK").as("rel_type"),
       map(lit("seq"), col("seq").cast("string")).as("props"),
       col("conv_id"))
+    // chunk_uid is on the mention row (fused pass); the isNotNull filter
+    // keeps the old inner-join semantics (a turn outside any chunk emits no
+    // INGESTED_BY edge).
     val ingestedBy = linkedMentions
-      .filter(col("canon_label") === "Operator")
-      .join(turnChunks, Seq("conv_id", "turn_idx"))
+      .filter(col("canon_label") === "Operator" && col("chunk_uid").isNotNull)
       .select(
         concat(lit("chunk:"), col("chunk_uid")).as("src"),
         entId(col("canon_label"), col("canon_norm")).as("dst"),

@@ -34,15 +34,23 @@ object ConvStage {
 
   final case class TurnChecksum(turn_idx: Int, checksum: String)
 
+  /** A mention plus the chunk containing its turn — the same "provenance
+    * rides out of the fused pass" trick RelOut uses: with the chunk_uid
+    * attached HERE, entity-provenance aggregation downstream never joins
+    * mentions back to a turn→chunk table (at 5.5M turns that join shuffled
+    * two turn-scale tables on (conv_id, turn_idx)).
+    */
+  final case class MentionOut(m: Mention, chunk_uid: String)
+
   final case class ConvArtifacts(
       conv_id: String,
       n_turns: Int,
       doc_checksum: String,
       chunks: Seq[ChunkOut],
-      mentions: Seq[Mention],
+      mentions: Seq[MentionOut],
       rels: Seq[RelOut],
       turn_checksums: Seq[TurnChecksum],
-      candidates: Seq[Mention]) // out-of-dictionary candidate mentions (X5)
+      candidates: Seq[MentionOut]) // out-of-dictionary candidate mentions (X5)
 
   /** Pure per-conversation computation (unit-testable without Spark). */
   def perConversation(convId: String, turnsUnsorted: Seq[(Int, String)],
@@ -87,14 +95,15 @@ object ConvStage {
     val chunkOfTurn: Map[Int, String] = turns.indices.collect {
       case k if assigned(k) >= 0 => turns(k)._1 -> chunkOuts(assigned(k)).chunk_uid
     }.toMap
-    val mentions = Seq.newBuilder[Mention]
+    val mentions = Seq.newBuilder[MentionOut]
     val rels = Seq.newBuilder[RelOut]
-    val candidates = Seq.newBuilder[Mention]
+    val candidates = Seq.newBuilder[MentionOut]
     var lastCompany: Option[String] = None
     turns.foreach { case (turnIdx, text) =>
       val e = Extractor.extractTurn(convId, turnIdx, text)
-      mentions ++= e.mentions
-      candidates ++= e.candidates
+      val cuid = chunkOfTurn.getOrElse(turnIdx, null)
+      mentions ++= e.mentions.map(MentionOut(_, cuid))
+      candidates ++= e.candidates.map(MentionOut(_, cuid))
       val companyHere = e.mentions.filter(_.label == "Company")
         .sortBy(_.begin).lastOption.map(_.norm)
       e.rels.foreach { r =>

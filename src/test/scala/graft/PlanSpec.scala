@@ -106,6 +106,33 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("broadcast-regime KG build executes ZERO shuffle joins: provenance rides the fused pass") {
+    // Entity/operator provenance (chunk_uids on entity nodes, INGESTED_BY
+    // edges) used to shuffle-join linked mentions against an exploded
+    // turn→chunk map — two turn-scale tables on (conv_id, turn_idx). The
+    // chunk_uid now rides each mention row out of the fused per-conversation
+    // pass (ConvStage.MentionOut), so under the broadcast gate every join in
+    // the whole build is a BroadcastHashJoin and the only exchanges left are
+    // the conv_id groupByKey and the aggregations.
+    val turns = TranscriptGen.table(spark, 8L).toDF()
+    val g = graft.app.KgBuild.buildGraph(turns, graft.model.RunConfig(runKey = "kg:plan2"))
+    try {
+      Seq(g.nodes, g.edges).foreach { df =>
+        df.count() // let AQE finalize the adaptive plan
+        val p = plan(df)
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"expected no shuffle joins in the executed build plan:\n$p")
+        // The structural pin: the old provenance path exploded ChunkOut
+        // .turn_idxs into a turn→chunk table and joined it back; at sizes
+        // where neither side broadcasts that was an SMJ of two turn-scale
+        // tables. (Bare "turn_idxs" still appears in the cached artifacts'
+        // schema dump, so only the explode is asserted away.)
+        assert(!p.contains("explode(turn_idxs"),
+          s"provenance must ride the fused pass, not a turn_idxs explode:\n$p")
+      }
+    } finally { g.release(); spark.catalog.clearCache() }
+  }
+
   test("LSH ANN: query side broadcast, no cartesian, ids-only candidate join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.operators.Ann.lshTopK(emb, emb.filter(col("vec_id") < 4), 5))
