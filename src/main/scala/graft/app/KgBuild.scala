@@ -187,7 +187,8 @@ object KgBuild {
     val entityNodes = mentionChunks
       .groupBy(col("canon_label"), col("canon_norm"), col("canon_name"))
       .agg(
-        array_sort(collect_set(col("chunk_uid"))).as("chunk_uids"),
+        slice(array_sort(collect_set(col("chunk_uid"))), 1,
+          cfg.maxProvenanceChunkUids).as("chunk_uids"),
         min(col("conv_id")).as("conv_id"))
       .select(
         entId(col("canon_label"), col("canon_norm")).as("id"),
@@ -234,7 +235,8 @@ object KgBuild {
         entId(col("obj_label"), col("obj_canon_norm")).as("dst"),
         col("pred").as("rel_type"))
       .agg(
-        array_sort(collect_set(col("chunk_uid"))).as("chunk_uids"),
+        slice(array_sort(collect_set(col("chunk_uid"))), 1,
+          cfg.maxProvenanceChunkUids).as("chunk_uids"),
         min(col("turn_idx")).as("turn_idx"),
         min(col("doc_checksum")).as("document_checksum"),
         min(col("conv_id")).as("conv_id"))

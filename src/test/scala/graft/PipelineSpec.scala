@@ -114,6 +114,36 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("chunk_uids provenance is capped deterministically (hot-entity row-size bound)") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    // one entity mentioned across 4 conversations => 4 distinct chunks; a
+    // cap of 2 must keep exactly the FIRST 2 of the sorted uid set, so the
+    // capped row is a prefix of the uncapped one (deterministic under
+    // resume/MERGE).
+    val t = (0 until 4).map(i =>
+      (s"conv-$i", 0, "user", "Acme Corp shipped something.", Option.empty[String], ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def uidsOf(cap: Int): Seq[String] = {
+      val g = KgBuild.buildGraph(t,
+        RunConfig(runKey = s"kg:cap$cap", numPartitions = 2,
+          maxProvenanceChunkUids = cap))
+      val row = g.nodes.filter(col("name") === "Acme Corp").collect().head
+      val uids = ujsonArray(row.getAs[Map[String, String]]("props")("chunk_uids"))
+      g.release(); spark.catalog.clearCache()
+      uids
+    }
+    val full = uidsOf(10000)
+    val capped = uidsOf(2)
+    assert(full.size == 4, s"expected 4 provenance chunks, got $full")
+    assert(capped == full.take(2), s"cap must keep the sorted prefix: $capped vs $full")
+  }
+
+  /** Minimal JSON string-array parse for the provenance prop (avoids a json lib). */
+  private def ujsonArray(s: String): Seq[String] =
+    s.stripPrefix("[").stripSuffix("]").split(",").toSeq
+      .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+
   test("case-variant of a dictionary entity folds into the gazetteer row (no duplicate canon)") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(1700000000000L)
