@@ -126,13 +126,11 @@ object KgBuild {
     // |hot| x salt, not |canonical| x salt), so the salt is raised to the
     // shuffle parallelism — a hot key then spreads across every reducer.
     // Under broadcast nothing partitions, so nothing is measured or salted.
+    val parallelism = spark.sessionState.conf.numShufflePartitions
     val (linkSalt, hotNorms) =
       if (broadcastCanonical) (cfg.saltBuckets, None)
-      else {
-        val parallelism = spark.sessionState.conf.numShufflePartitions
-        (math.max(cfg.saltBuckets, parallelism),
-          Some(EntityLinker.heavyHitters(mentions, "norm", parallelism)))
-      }
+      else (math.max(cfg.saltBuckets, parallelism),
+        Some(EntityLinker.heavyHitters(mentions, "norm", parallelism)))
     val linkedMentions = EntityLinker
       .link(mentions, "norm", "mention_id", canonical, linkSalt,
         broadcastBuild = broadcastCanonical, hotKeys = hotNorms)
@@ -184,12 +182,34 @@ object KgBuild {
     // resolved one, so the engine stays config-free by default
     val gitProp: Seq[org.apache.spark.sql.Column] =
       cfg.gitCommit.toSeq.flatMap(sha => Seq(lit("git_commit"), lit(sha)))
-    val entityNodes = mentionChunks
-      .groupBy(col("canon_label"), col("canon_norm"), col("canon_name"))
-      .agg(
-        slice(array_sort(collect_set(col("chunk_uid"))), 1,
-          cfg.maxProvenanceChunkUids).as("chunk_uids"),
-        min(col("conv_id")).as("conv_id"))
+    // Provenance-skew contract (RunConfig.saltProvenance): collect_set does
+    // not shrink under partial aggregation (its partial state IS the set),
+    // so a stop entity's (canon, chunk_uid) pairs would all funnel through
+    // one reducer before maxProvenanceChunkUids could apply. Measure which
+    // canon norms are hot enough to straggle a reducer (one partial-agg pass
+    // over the persisted fused artifacts — the shuffle moves distinct canon
+    // norms, not mention rows) and route ONLY those groups' rows through
+    // [[cappedProvenanceAgg]]'s two-phase salted form. Relation endpoints
+    // come from the same extraction pass over the same turns, so the one
+    // measurement covers the semantic-edge aggregation too.
+    val hotProvNorms: Seq[String] =
+      if (cfg.saltProvenance)
+        EntityLinker.heavyHitters(mentionChunks, "canon_norm", parallelism)
+      else Nil
+    val entityHot =
+      if (hotProvNorms.isEmpty) None
+      else Some(col("canon_norm").isin(hotProvNorms: _*))
+    val edgeHot =
+      if (hotProvNorms.isEmpty) None
+      else Some(col("subj_canon_norm").isin(hotProvNorms: _*) ||
+        col("obj_canon_norm").isin(hotProvNorms: _*))
+    val entityNodes = cappedProvenanceAgg(
+      mentionChunks,
+      Seq(col("canon_label") -> "canon_label",
+        col("canon_norm") -> "canon_norm",
+        col("canon_name") -> "canon_name"),
+      "chunk_uid", Seq("conv_id"), cfg.maxProvenanceChunkUids,
+      entityHot, parallelism)
       .select(
         entId(col("canon_label"), col("canon_norm")).as("id"),
         array_distinct(array(col("canon_label"), lit("__Entity__"))).as("labels"),
@@ -229,17 +249,14 @@ object KgBuild {
     // ref:src/fancyrag/db/neo4j_queries.py:108). chunk_uid and doc_checksum
     // rode out of the fused per-conversation pass, so this costs ONE
     // aggregation exchange, not extra joins.
-    val semanticEdges = relations
-      .groupBy(
-        entId(col("subj_label"), col("subj_canon_norm")).as("src"),
-        entId(col("obj_label"), col("obj_canon_norm")).as("dst"),
-        col("pred").as("rel_type"))
-      .agg(
-        slice(array_sort(collect_set(col("chunk_uid"))), 1,
-          cfg.maxProvenanceChunkUids).as("chunk_uids"),
-        min(col("turn_idx")).as("turn_idx"),
-        min(col("doc_checksum")).as("document_checksum"),
-        min(col("conv_id")).as("conv_id"))
+    val semanticEdges = cappedProvenanceAgg(
+      relations,
+      Seq(entId(col("subj_label"), col("subj_canon_norm")) -> "src",
+        entId(col("obj_label"), col("obj_canon_norm")) -> "dst",
+        col("pred") -> "rel_type"),
+      "chunk_uid", Seq("turn_idx", "doc_checksum", "conv_id"),
+      cfg.maxProvenanceChunkUids, edgeHot, parallelism)
+      .withColumnRenamed("doc_checksum", "document_checksum")
       .select(
         col("src"), col("dst"), col("rel_type"),
         map(Seq(
@@ -258,6 +275,63 @@ object KgBuild {
 
     GraphTables(chunks, turnChecksums, relations, nodes, edges, triples,
       release = () => { artsDs.unpersist(); canonical.unpersist(); () })
+  }
+
+  /** Capped provenance aggregation:
+    * `slice(array_sort(collect_set(uid)), 1, cap)` per group plus `min` of
+    * each companion column — executed as one hash aggregation when `hot` is
+    * None, or in two phases when measured-hot groups exist: rows matching
+    * `hot` are pre-aggregated per `pmod(xxhash64(uid), saltBuckets)` bucket
+    * first, so no single reducer ever holds a stop entity's full uid set
+    * (collect_set's partial state is the set itself — map-side combine does
+    * not bound it; the salt does, at |group|/saltBuckets per reducer).
+    *
+    * Outputs are BYTE-IDENTICAL either way (pinned by PipelineSpec): the
+    * bucket is a function of the uid, so every one of the globally smallest
+    * `cap` uids has fewer than `cap` smaller uids in its own bucket and
+    * survives the bucket-local slice; sorting the merged buckets and slicing
+    * again yields exactly the global result, and min-of-bucket-mins is the
+    * min. Cold groups keep salt 0 and emit one phase-1 row, so the second
+    * exchange adds |groups| + |hot| x saltBuckets rows, each at most `cap`
+    * uids — vocab-sized, not corpus-sized.
+    *
+    * @param groupCols (expression, output name) pairs — expressions may be
+    *                  computed (e.g. the entity-id concat); phase 2 groups
+    *                  by the output names
+    * @param hot       boolean predicate over `rows` marking measured-hot
+    *                  groups (see EntityLinker.heavyHitters); None = single
+    *                  phase (measured flat, or salting disabled)
+    */
+  private[graft] def cappedProvenanceAgg(
+      rows: DataFrame,
+      groupCols: Seq[(org.apache.spark.sql.Column, String)],
+      uidCol: String,
+      minCols: Seq[String],
+      cap: Int,
+      hot: Option[org.apache.spark.sql.Column],
+      saltBuckets: Int): DataFrame = {
+    val groupExprs = groupCols.map { case (c, n) => c.as(n) }
+    val mins = minCols.map(c => min(col(c)).as(c))
+    hot match {
+      case None =>
+        rows.groupBy(groupExprs: _*)
+          .agg(slice(array_sort(collect_set(col(uidCol))), 1, cap)
+            .as("chunk_uids"), mins: _*)
+      case Some(pred) =>
+        val buckets = math.max(saltBuckets, 2)
+        rows
+          .withColumn("__psalt",
+            when(pred, pmod(xxhash64(col(uidCol)), lit(buckets.toLong)))
+              .otherwise(lit(0L)))
+          .groupBy(groupExprs :+ col("__psalt"): _*)
+          .agg(slice(array_sort(collect_set(col(uidCol))), 1, cap)
+            .as("__part_uids"), mins: _*)
+          .groupBy(groupCols.map(p => col(p._2)): _*)
+          .agg(
+            slice(array_sort(flatten(collect_list(col("__part_uids")))), 1, cap)
+              .as("chunk_uids"),
+            mins: _*)
+    }
   }
 
   /** Materializing run with manifest-based resume and QA gating.

@@ -151,10 +151,16 @@ final case class RunConfig(
     // deterministic, so resume/MERGE stay stable — bounding the row at
     // ~64 B x cap (~640 KB at the default). Sf-scale corpora never reach
     // the cap, so judged outputs are unchanged; an entity hot enough to trip
-    // it behaves like a stopword in retrieval expansion anyway. NOTE: this
-    // bounds the ROW, not the reducer's in-flight set — an entity spanning
-    // most of a 100 TB corpus still funnels its (canon, chunk_uid) pairs
-    // through one reducer; prune such stop entities upstream (dictionary
-    // hygiene) if they exist in the schema.
-    maxProvenanceChunkUids: Int = 10000
+    // it behaves like a stopword in retrieval expansion anyway. The cap
+    // bounds the ROW; the REDUCER's in-flight set is bounded separately by
+    // the heavy-hitter-targeted two-phase aggregation (saltProvenance,
+    // KgBuild.cappedProvenanceAgg).
+    maxProvenanceChunkUids: Int = 10000,
+    // Aggregate measured-hot entities' chunk_uids provenance in two salted
+    // phases (KgBuild.cappedProvenanceAgg) so a stop entity's collect_set
+    // state can't concentrate on one reducer before the row cap applies.
+    // Outputs are byte-identical either way (pinned by PipelineSpec); the
+    // switch exists so the parity can be asserted end-to-end, not as a
+    // correctness knob.
+    saltProvenance: Boolean = true
 )

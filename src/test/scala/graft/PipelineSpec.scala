@@ -139,6 +139,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == full.take(2), s"cap must keep the sorted prefix: $capped vs $full")
   }
 
+  test("cappedProvenanceAgg: salted two-phase form is byte-identical to single-phase") {
+    import spark.implicits._
+    // skewed: key "hot" holds 500 distinct uids (each duplicated, so the
+    // bucket-local collect_set dedup is exercised) and the cap of 16 must
+    // keep exactly the sorted prefix; cold keys ride salt bucket 0.
+    val hotUids = (0 until 500).map(i => ("hot", f"u$i%04d"))
+    val rows = (hotUids ++ hotUids ++
+      (0 until 10).map(i => ("cold", f"c$i%02d")) ++ Seq(("one", "z")))
+      .toDF("k", "chunk_uid")
+      .withColumn("conv_id", concat(lit("cv-"), col("chunk_uid")))
+    def run(hot: Option[org.apache.spark.sql.Column]) =
+      KgBuild.cappedProvenanceAgg(rows, Seq(col("k") -> "k"), "chunk_uid",
+        Seq("conv_id"), 16, hot, 8).orderBy("k").collect().toSeq
+    val single = run(None)
+    val salted = run(Some(col("k") === "hot"))
+    assert(single == salted, s"two-phase output diverged:\n$salted\nvs\n$single")
+    val hotRow = salted.find(_.getString(0) == "hot").get
+    assert(hotRow.getSeq[String](1) == (0 until 16).map(i => f"u$i%04d"),
+      "cap must keep the globally smallest uids across salt buckets")
+  }
+
+  test("saltProvenance=false builds an identical graph (provenance-skew parity)") {
+    // The salted two-phase provenance aggregation is a physical-plan
+    // decision only: switching it off may not change a single node/edge row.
+    val g2 = KgBuild.buildGraph(turns, cfg.copy(saltProvenance = false))
+    def cmp(df: org.apache.spark.sql.DataFrame) = df.columns.foldLeft(df) {
+      case (d, c) if d.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        d.withColumn(c, array_sort(map_entries(col(c))))
+      case (d, _) => d
+    }
+    try {
+      val (n1, n2) = (cmp(g.nodes), cmp(g2.nodes))
+      val (e1, e2) = (cmp(g.edges), cmp(g2.edges))
+      assert(n2.exceptAll(n1).isEmpty && n1.exceptAll(n2).isEmpty,
+        "node sets diverge between salted and single-phase provenance aggregation")
+      assert(e2.exceptAll(e1).isEmpty && e1.exceptAll(e2).isEmpty,
+        "edge sets diverge between salted and single-phase provenance aggregation")
+    } finally g2.release()
+  }
+
   /** Minimal JSON string-array parse for the provenance prop (avoids a json lib). */
   private def ujsonArray(s: String): Seq[String] =
     s.stripPrefix("[").stripSuffix("]").split(",").toSeq
