@@ -328,7 +328,14 @@ object KgBuild {
             .as("__part_uids"), mins: _*)
           .groupBy(groupCols.map(p => col(p._2)): _*)
           .agg(
-            slice(array_sort(flatten(collect_list(col("__part_uids")))), 1, cap)
+            // array_distinct defends the merge against a `hot` predicate
+            // that is not constant within a group (the same uid would then
+            // land in two buckets and its duplicate could displace a
+            // legitimate uid inside the cap). Both call sites pass
+            // group-key-derived predicates, so this is belt-and-braces at
+            // |hot| x S x cap cost, not a correctness dependency.
+            slice(array_distinct(
+              array_sort(flatten(collect_list(col("__part_uids"))))), 1, cap)
               .as("chunk_uids"),
             mins: _*)
     }
