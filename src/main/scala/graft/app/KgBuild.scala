@@ -32,7 +32,12 @@ object KgBuild {
       // canonical table) once the caller has materialized what it needs.
       // Library operators must not leak storage into a long-lived session;
       // spark.catalog.clearCache() remains the blunt fallback.
-      release: () => Unit = () => ()
+      release: () => Unit = () => (),
+      // Diagnostics: the measured-hot canon norms whose provenance
+      // aggregation ran two-phase (empty = single-phase everywhere). Lets
+      // tests assert the two-phase path was actually exercised end-to-end
+      // instead of passing vacuously on a flat corpus.
+      hotProvNorms: Seq[String] = Nil
   )
 
   val SemanticSource = "graft.kg_build.deterministic.v1"
@@ -87,10 +92,27 @@ object KgBuild {
     val candMentions = arts.select(explode(col("candidates")).as("m"))
       .select(col("m.m.*"), col("m.chunk_uid"))
     val gazCanon = Resolver.canonicalEntities(spark)
-    val candCanon = candMentions
+    val mentions = gazMentions.unionByName(candMentions)
+    // ONE vocab-sized aggregate feeds every per-norm decision the build
+    // makes: candidate-entity support (candCanon below), the shuffled-link
+    // heavy hitters, AND the provenance heavy hitters. Before round 6 those
+    // were three separate measurement jobs — the provenance pass alone
+    // re-scanned the persisted artifacts through the link join every build
+    // (the round-5 verdict's documented fixed cost: bench e2e 4.93→5.50 s,
+    // headline 206k→163-182k triples/s). The shuffle here moves one row per
+    // (map partition, distinct norm) — partial aggregation — exactly like
+    // EntityLinker.heavyHitters did, but once instead of up to three times,
+    // and with no extra arts scan since candCanon needed this aggregate
+    // anyway.
+    val normStats = mentions
       .groupBy(col("norm"))
-      .agg(count(lit(1)).as("__n"), min(col("surface")).as("canon_name"))
-      .filter(col("__n") >= cfg.minCandidateSupport)
+      .agg(
+        count(lit(1)).as("__n"),
+        count(when(col("label") === "__Candidate__", lit(1))).as("__n_cand"),
+        min(when(col("label") === "__Candidate__", col("surface"))).as("__cand_name"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candCanon = normStats
+      .filter(col("__n_cand") >= cfg.minCandidateSupport)
       // A candidate's NORM can collide with a gazetteer norm even though its
       // SURFACE escaped the (case-sensitive) gazetteer scanner — e.g. the
       // all-caps case-variant "GLOBEX INC" normalizes to the dictionary norm
@@ -101,8 +123,8 @@ object KgBuild {
       // existing gazetteer row simply by being dropped here — the link join
       // resolves their norm through the gazetteer entry.
       .join(gazCanon.select(col("norm")), Seq("norm"), "left_anti")
-      .select(col("norm"), col("norm").as("canon_norm"), col("canon_name"),
-        lit("__Entity__").as("label"))
+      .select(col("norm"), col("norm").as("canon_norm"),
+        col("__cand_name").as("canon_name"), lit("__Entity__").as("label"))
     val canonical = gazCanon
       .unionByName(candCanon)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -114,23 +136,62 @@ object KgBuild {
     // broadcast hint would be an OOM at corpus scale — see EntityLinker's
     // scaladoc for the two regimes.
     val broadcastCanonical = canonical.count() <= cfg.broadcastCanonicalLimit
-    val mentions = gazMentions.unionByName(candMentions)
 
-    // ---- link ----
-    // Shuffled-regime skew contract: measure the probe side's heavy hitters
-    // ONCE (a partial-aggregated groupBy — the shuffle moves distinct norms,
-    // not mention rows) and salt only those keys in all three link joins.
-    // Mention norms and relation subj/obj norms come from the same scans of
-    // the same turns, so one measurement covers all three probes. Targeted
-    // salting makes a bigger salt factor affordable (amplification is
-    // |hot| x salt, not |canonical| x salt), so the salt is raised to the
-    // shuffle parallelism — a hot key then spreads across every reducer.
-    // Under broadcast nothing partitions, so nothing is measured or salted.
+    // ---- skew measurement (link + provenance), driver-side off normStats --
+    // Shuffled-regime link contract: salt only measured-hot probe keys in all
+    // three link joins (mention norms and relation subj/obj norms come from
+    // the same scans of the same turns, so one measurement covers all three
+    // probes). Provenance contract: route only measured-hot canon groups
+    // through the two-phase salted aggregation (see cappedProvenanceAgg).
+    // Both hot sets derive from normStats: per-norm counts ARE the link
+    // probe's distribution, and per-canon counts fold from them through the
+    // STATIC gazetteer closure (driver-resident, ~240 rows; data-derived
+    // candidates are their own canon), so no distributed pass over mentions
+    // or linked mentions is needed. Semantics are pinned to
+    // EntityLinker.heavyHitters by ExtractorSpec/PipelineSpec: same
+    // total/parallelism threshold, same (count desc, key) order, same 64-key
+    // cap. Under broadcast nothing partitions, so the link side is neither
+    // measured nor salted.
     val parallelism = spark.sessionState.conf.numShufflePartitions
-    val (linkSalt, hotNorms) =
-      if (broadcastCanonical) (cfg.saltBuckets, None)
-      else (math.max(cfg.saltBuckets, parallelism),
-        Some(EntityLinker.heavyHitters(mentions, "norm", parallelism)))
+    val (hotNorms: Option[Seq[String]], hotProvNorms: Seq[String]) =
+      if (broadcastCanonical && !cfg.saltProvenance) (None, Nil)
+      else {
+        val gazMap = Resolver.canonicalNormMap(spark)
+        val isGaz = col("norm").isin(gazMap.keys.toSeq: _*)
+        // A mention links iff its norm is a gazetteer norm (colliding
+        // candidates link through the gazetteer row) or a candidate norm at
+        // support — linkedN is that mention count, 0 for norms that drop out.
+        val linkedN = when(isGaz || col("__n_cand") >= cfg.minCandidateSupport,
+          col("__n")).otherwise(lit(0L))
+        val totals = normStats
+          .agg(sum(col("__n")).as("ta"), sum(linkedN).as("tl")).first()
+        val totAll = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+        val totLinked = if (totals.isNullAt(1)) 0L else totals.getLong(1)
+        val thrAll = math.max(totAll / math.max(parallelism, 1), 1L)
+        val thrLinked = math.max(totLinked / math.max(parallelism, 1), 1L)
+        // Bounded collect: every gazetteer norm (dictionary-sized — needed to
+        // fold canon-group counts exactly) plus norms over either threshold
+        // (at most `parallelism` keys can exceed a total/parallelism bound).
+        val hotRows = normStats
+          .filter(isGaz || col("__n") > thrAll || linkedN > thrLinked)
+          .select(col("norm"), col("__n"), linkedN.as("__ln"))
+          .collect()
+        val linkHot = hotRows.filter(_.getLong(1) > thrAll)
+          .sortBy(r => (-r.getLong(1), r.getString(0)))
+          .take(64).map(_.getString(0)).toSeq
+        val provHot = hotRows
+          .groupBy(r => gazMap.getOrElse(r.getString(0), r.getString(0)))
+          .map { case (canon, rs) => canon -> rs.map(_.getLong(2)).sum }
+          .filter(_._2 > thrLinked).toSeq
+          .sortBy { case (canon, n) => (-n, canon) }
+          .take(64).map(_._1)
+        (if (broadcastCanonical) None else Some(linkHot),
+          if (cfg.saltProvenance) provHot else Nil)
+      }
+    normStats.unpersist()
+    val linkSalt =
+      if (broadcastCanonical) cfg.saltBuckets
+      else math.max(cfg.saltBuckets, parallelism)
     val linkedMentions = EntityLinker
       .link(mentions, "norm", "mention_id", canonical, linkSalt,
         broadcastBuild = broadcastCanonical, hotKeys = hotNorms)
@@ -185,17 +246,20 @@ object KgBuild {
     // Provenance-skew contract (RunConfig.saltProvenance): collect_set does
     // not shrink under partial aggregation (its partial state IS the set),
     // so a stop entity's (canon, chunk_uid) pairs would all funnel through
-    // one reducer before maxProvenanceChunkUids could apply. Measure which
-    // canon norms are hot enough to straggle a reducer (one partial-agg pass
-    // over the persisted fused artifacts — the shuffle moves distinct canon
-    // norms, not mention rows) and route ONLY those groups' rows through
+    // one reducer before maxProvenanceChunkUids could apply. hotProvNorms
+    // (measured above, off the same normStats aggregate that sized the
+    // canonical table) marks the canon groups hot enough to straggle a
+    // reducer; ONLY those groups' rows route through
     // [[cappedProvenanceAgg]]'s two-phase salted form. Relation endpoints
     // come from the same extraction pass over the same turns, so the one
-    // measurement covers the semantic-edge aggregation too.
-    val hotProvNorms: Seq[String] =
-      if (cfg.saltProvenance)
-        EntityLinker.heavyHitters(mentionChunks, "canon_norm", parallelism)
-      else Nil
+    // measurement covers the semantic-edge aggregation too — a PROXY there:
+    // edge groups key on (src, dst, rel_type), so a group hot only at the
+    // RELATION level (both endpoints individually cool but one (subj, obj)
+    // pair dominating) escapes the salt and keeps single-reducer collect_set
+    // behavior. That group's state is still bounded by the cooler endpoint's
+    // mention count (every relation row carries both endpoints, so
+    // |group| <= min(endpoint counts) <= thrLinked for unsalted groups);
+    // correctness is unaffected either way (PipelineSpec parity).
     val entityHot =
       if (hotProvNorms.isEmpty) None
       else Some(col("canon_norm").isin(hotProvNorms: _*))
@@ -274,7 +338,8 @@ object KgBuild {
       .distinct()
 
     GraphTables(chunks, turnChecksums, relations, nodes, edges, triples,
-      release = () => { artsDs.unpersist(); canonical.unpersist(); () })
+      release = () => { artsDs.unpersist(); canonical.unpersist(); () },
+      hotProvNorms = hotProvNorms)
   }
 
   /** Capped provenance aggregation:

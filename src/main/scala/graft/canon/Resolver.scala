@@ -223,5 +223,17 @@ object Resolver {
     rows.toDF("norm", "canon_norm", "canon_name", "label")
   }
 
+  /** Driver-local (norm -> canon_norm) map of the static gazetteer closure —
+    * the same memoized rows [[canonicalEntities]] serves as a DataFrame.
+    * Bounded by the dictionary (~240 rows), so holding it on the driver is
+    * free; KgBuild uses it to fold per-norm mention counts into per-canon
+    * counts without a second distributed pass (data-derived candidates are
+    * their own canon, so the static map is the complete mapping).
+    */
+  def canonicalNormMap(spark: SparkSession): Map[String, String] = {
+    canonicalEntities(spark)
+    cachedCanonical.get.map(r => r._1 -> r._2).toMap
+  }
+
   @volatile private var cachedCanonical: Option[Seq[(String, String, String, String)]] = None
 }

@@ -208,13 +208,34 @@ object Dedup {
   def simhashMd5(text: String): Long = {
     val votes = new Array[Int](60)
     val md = java.security.MessageDigest.getInstance("MD5")
-    text.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok =>
-      md.reset()
-      val hex = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map(b => f"$b%02x").mkString.substring(0, 15)
-      val h = java.lang.Long.parseLong(hex, 16)
-      var b = 0
-      while (b < 60) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    val n = text.length
+    // Tokenization is exactly split("\\s+") (regex \s = [ \t\n\x0B\f\r]):
+    // maximal runs of non-\s chars — but scanned in place, because the split
+    // + per-byte f"%02x" + parseLong form of this function spent ~2.5 s of
+    // its 4.2 s noop floor at sf0.1 inside java.lang.String.format (16
+    // locale-aware format calls per token). The 60-bit value is unchanged:
+    // the first 15 hex chars of an md5 digest ARE the top 60 bits of its
+    // first 8 bytes read big-endian (OperatorsSpec pins equality to the
+    // string-formatting reference on adversarial inputs).
+    @inline def isWs(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val ws = i == n || isWs(text.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) {
+        md.reset()
+        val d = md.digest(
+          text.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+        var b = 0
+        while (b < 60) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        start = -1
+      }
+      i += 1
     }
     var out = 0L
     var b = 0

@@ -114,6 +114,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)) == expected)
   }
 
+  test("simhashMd5: in-place scan equals the hex-format/parse reference") {
+    // reference = the pre-round-6 formulation: split("\\s+"), md5 hex string,
+    // parseLong of the first 15 hex chars — the optimized form must be
+    // value-identical (it is the same 60 digest bits, read without the
+    // per-byte String.format round-trip that dominated the noop floor)
+    def reference(text: String): Long = {
+      val votes = new Array[Int](60)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok =>
+        md.reset()
+        val hex = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        var b = 0
+        while (b < 60) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    val cases = Seq(
+      "", " ", "  \t\n\f\r  ", "one", " leading and  double  gaps ",
+      "tab\tsep\nnewline\rcr\fffvt", "unicode café naïve 中文",
+      "repeated repeated repeated tokens tokens", base,
+      "trailing space ", " nbsp is not regex-whitespace")
+    cases.foreach { t =>
+      assert(Dedup.simhashMd5(t) == reference(t), s"simhashMd5 diverged on: '$t'")
+    }
+  }
+
   test("ngram jaccard: exact similarity on candidate pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
