@@ -2,7 +2,7 @@ package graft
 
 import graft.app.KgBuild
 import graft.canon.Resolver
-import graft.chunk.ChunkStage
+import graft.chunk.{Chunker, ChunkStage}
 import graft.extract.Extractor
 import graft.model.{ChunkProfile, RunConfig}
 import graft.operators.{Ann, Dedup, Multimodal, Retrieval, Sampling, TextAnalysis}
@@ -480,36 +480,78 @@ object SparkEntry {
     // inbound-relation case.)
     "q_semantic_expansion" -> ((s, d) => {
       import s.implicits._
-      val turns = TranscriptDeriver.turns(s, d)
-      val profile = ChunkProfile("exact", 600, 120, approximate = false)
-      val chunks = ChunkStage.chunks(turns, profile)
-      val t2c = ChunkStage.turnToChunk(ChunkStage.turnOffsets(turns), chunks)
       val ex = Extractor.termExtractor(gazetteerTerms)
-      // ONE fused scan emits both mention rows and relation rows (tagged):
-      // the mention regex pass over every turn is the dominant cost here and
-      // previously ran twice (once for the nodes path, once inside the rels
-      // path). The branch point is persisted so both consumers share it,
-      // then RELEASED after the two (much smaller, distinct) branch outputs
-      // are eagerly materialized — the minhashClusters release-handle
-      // pattern, so the query leaks no storage into a long-lived session.
-      val scanned = turns.select("conv_id", "turn_idx", "text").as[(String, Int, String)]
-        .mapPartitions(_.flatMap { case (c, t, x) =>
-          val ms = ex.scanMentions(c, t, x)
-          ms.iterator.map(m => ("m", m.conv_id, m.turn_idx, m.norm, null: String)) ++
-            ex.sameTurnRels(c, t, x, ms).iterator
-              .map(r => ("r", c, t, r.subj_norm, r.obj_norm.orNull))
+      // ONE narrow pass over documents.parquet derives every graph row with
+      // ZERO shuffles before the (tiny) distinct/aggregate stages: a derived
+      // conversation IS one document row (TranscriptDeriver cuts fixed
+      // 240-char turns out of it), so turn derivation, document reassembly,
+      // exact chunking, the min-index turn→chunk binding, and the fused
+      // mention+relation scan are all conversation-local. They are computed
+      // here with the SAME primitives the distributed operators wrap
+      // (Chunker.split/chunkUid, DictExtractor.scanMentions/sameTurnRels —
+      // the operator under test remains the REAL
+      // Retrieval.semanticExpansion), where the previous form ran the
+      // fixture construction as five distributed stages (documents groupBy,
+      // chunk flatMap, offsets window, turn→chunk range join, mention⋈chunk
+      // join) whose exchanges dominated the query's floor. The branch point
+      // is persisted, its three consumers eagerly materialized, then
+      // RELEASED — the minhashClusters release-handle pattern, so the query
+      // leaks no storage into a long-lived session.
+      val scanned = docs(s, d).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (docId, text0) =>
+          val text = if (text0 == null) "" else text0
+          val convId = s"conv-$docId"
+          val nTurns = math.max(1, math.ceil(text.length / 240.0).toInt)
+          val turnTexts = (0 until nTurns).map { t =>
+            text.substring(math.min(t * 240, text.length),
+              math.min(t * 240 + 240, text.length))
+          }
+          val docText = turnTexts.mkString("\n")
+          val offsets = new Array[Int](nTurns)
+          var acc = 0
+          var t = 0
+          while (t < nTurns) { offsets(t) = acc; acc += turnTexts(t).length + 1; t += 1 }
+          val chunks = Chunker.split(docText, 600, 120, approximate = false)
+          val uids = chunks.map(rc => Chunker.chunkUid(convId, rc.index, rc.text))
+          // first (min-index) chunk covering each turn's start offset —
+          // chunk coverage is contiguous and offsets are monotone, so one
+          // forward sweep reproduces ChunkStage.turnToChunk's min_by(index)
+          val turnChunk = new Array[String](nTurns)
+          var ti = 0
+          chunks.foreach { rc =>
+            while (ti < nTurns && offsets(ti) >= rc.start && offsets(ti) < rc.end) {
+              turnChunk(ti) = uids(rc.index); ti += 1
+            }
+          }
+          val out = Seq.newBuilder[(String, String, String)]
+          if (docId >= 0 && docId < 10) uids.foreach(u => out += (("m", u, null)))
+          var k = 0
+          while (k < nTurns) {
+            val ms = ex.scanMentions(convId, k, turnTexts(k))
+            val cuid = turnChunk(k)
+            // a turn outside any chunk (empty doc) binds no entity↔chunk
+            // pair — the old inner join against turn→chunk dropped it too
+            if (cuid != null) ms.foreach(m => out += (("ec", m.norm, cuid)))
+            ex.sameTurnRels(convId, k, turnTexts(k), ms).foreach { r =>
+              out += (("r", r.subj_norm, r.obj_norm.orNull))
+            }
+            k += 1
+          }
+          out.result()
         })
-        .toDF("kind", "conv_id", "turn_idx", "a", "b")
+        .toDF("kind", "a", "b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ment = scanned.filter(col("kind") === "m")
-        .select(col("conv_id"), col("turn_idx"), col("a").as("norm")).distinct()
+      val entChunkPairs = scanned.filter(col("kind") === "ec")
+        .select(col("a").as("norm"), col("b").as("chunk_uid")).distinct()
         .localCheckpoint()
       val relPairs = scanned.filter(col("kind") === "r")
         .select(col("a").as("subj_norm"), col("b").as("obj_norm")).distinct()
         .localCheckpoint()
+      val matches = scanned.filter(col("kind") === "m")
+        .select(col("a").as("chunk_uid"))
+        .localCheckpoint()
       scanned.unpersist()
-      val entChunkPairs = ment.join(t2c, Seq("conv_id", "turn_idx"))
-        .select(col("norm"), col("chunk_uid")).distinct()
       val nodes = entChunkPairs.groupBy("norm")
         .agg(array_sort(collect_set(col("chunk_uid"))).as("chunk_uids"))
         .select(concat(lit("ent:"), col("norm")).as("id"),
@@ -522,9 +564,6 @@ object SparkEntry {
         concat(lit("ent:"), col("obj_norm")).as("dst"),
         lit("NEXT_TO").as("rel_type"),
         map(lit("semantic_source"), lit("derived")).as("props"))
-      val matches = chunks
-        .filter(col("conv_id").isin((0 until 10).map(i => s"conv-$i"): _*))
-        .select("chunk_uid")
       Retrieval.semanticExpansion(matches, nodes, edges)
         .select(col("chunk_uid"),
           array_join(array_sort(col("semantic_nodes")), ",").as("nodes_list"),

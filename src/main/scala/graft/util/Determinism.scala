@@ -35,11 +35,31 @@ object Determinism {
   /** Hex-encoded SHA-256 — matches Spark's sha2(col, 256) and DuckDB's
     * sha256() so checksums computed driver-side, executor-side, and
     * oracle-side all agree (per-turn text-equality invariant, BASELINE.json).
+    *
+    * Hot path: this runs once per turn, per chunk (uid + checksum), per doc,
+    * and per mention in every build. The original per-byte f"%02x" encoding
+    * spent 32 locale-aware String.format calls per digest — a measured
+    * multi-second tax across the kg_* queries at sf0.1 (same pathology as
+    * Dedup.simhashMd5's token hash) — so the hex encoding is a table lookup
+    * and the MessageDigest instance is thread-local instead of re-resolved
+    * through the JCA provider per call. Output bytes are unchanged
+    * (lowercase hex; DeterminismSpec pins known vectors).
     */
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private val sha256Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
   def sha256(s: String): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x")
-      .mkString
+    val md = sha256Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 }
