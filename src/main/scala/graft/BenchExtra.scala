@@ -18,16 +18,22 @@ object BenchExtra {
     var reps = 3
     var plansDir: Option[String] = None
     var plansSuffix = "before"
+    val confs = scala.collection.mutable.ArrayBuffer[String]()
     val names = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--reps" => reps = args(i + 1).toInt; i += 2
         case "--plans" => plansDir = Some(args(i + 1)); plansSuffix = args(i + 2); i += 3
+        case "--conf" => confs += args(i + 1); i += 2
         case q => names += q; i += 1
       }
     }
     val spark = Bench.buildSession(cpus)
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
     spark.sparkContext.setLogLevel("WARN")
     val sel = if (names.nonEmpty) names.toSeq else SparkEntry.queries.keys.toSeq.sorted
     plansDir.foreach(d => Files.createDirectories(Paths.get(d)))
