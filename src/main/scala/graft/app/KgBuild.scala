@@ -6,7 +6,7 @@ import graft.functions.Embeddings
 import graft.link.EntityLinker
 import graft.materialize.Materializer
 import graft.model.RunConfig
-import graft.qa.QaEvaluator
+import graft.qa.{IncrementalQa, QaEvaluator}
 import graft.qa.QaEvaluator.{QaResult, QaThresholds}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -423,7 +423,7 @@ object KgBuild {
     // BEFORE reading the manifest, or the interrupted rollback's
     // half-cleaned stages would feed resume and QA.
     recoverPendingRollback(spark, outDir)
-    val checks = Materializer.inputChecksums(turns, cfg.numPartitions)
+    val checks = Materializer.inputChecksums(turns, cfg.numPartitions, cfg.inputVersionCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val done = Materializer.completedPartitions(spark, outDir, "nodes", checks)
     val pending = turns
@@ -459,9 +459,15 @@ object KgBuild {
       // replaced partition is pending (no completion manifest row), hence
       // recomputable: a crash mid-overwrite just recomputes it again.
       val nodesPath = s"$outDir/nodes"
+      // The pending part ids are known and bounded (<= numPartitions):
+      // filtering the prior table with a literal isin makes the read
+      // STATICALLY partition-pruned — the semi-join form scanned every
+      // partition's files to keep at most the pending ones (a
+      // history-scaled read on an incremental run).
+      val pendingIds: Seq[Int] = nodes.select("part_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
       val existingPending = readParquetIfPresent(spark, nodesPath) match {
-        case Some(prior) =>
-          prior.join(nodes.select("part_id").distinct(), Seq("part_id"), "left_semi")
+        case Some(prior) => prior.filter(col("part_id").isin(pendingIds: _*))
         case None => nodes.limit(0)
       }
       // localCheckpoint (eager) detaches the merged plan from the parquet
@@ -485,13 +491,22 @@ object KgBuild {
     //    before the nodes manifest row landed) invisible at read;
     //  - chunks / turn_checksums dedupe on their natural keys for the same
     //    crash-window reason.
-    val allNodes = Materializer.mergeRows(spark.read.parquet(s"$outDir/nodes"), Seq("id"))
-    val allEdges = Materializer.mergeRows(
-      spark.read.parquet(s"$outDir/edges"), Seq("src", "dst", "rel_type"))
-    val allChunks = spark.read.parquet(s"$outDir/chunks").dropDuplicates("chunk_uid")
-    val allChecksums = spark.read.parquet(s"$outDir/turn_checksums")
-      .dropDuplicates("conv_id", "turn_idx")
-    val qa = QaEvaluator.evaluate(turns, allChecksums, allChunks, allNodes, allEdges, thresholds)
+    // The default path (cfg.incrementalQa) evaluates the same gate from
+    // fingerprint-keyed per-partition partials so an incremental run's QA
+    // cost scales with the delta, not the accumulated history; results are
+    // pinned equal to the full evaluation (ResumeSpec).
+    val qa =
+      if (cfg.incrementalQa)
+        IncrementalQa.evaluate(spark, outDir, turns, cfg, thresholds)
+      else {
+        val allNodes = Materializer.mergeRows(spark.read.parquet(s"$outDir/nodes"), Seq("id"))
+        val allEdges = Materializer.mergeRows(
+          spark.read.parquet(s"$outDir/edges"), Seq("src", "dst", "rel_type"))
+        val allChunks = spark.read.parquet(s"$outDir/chunks").dropDuplicates("chunk_uid")
+        val allChecksums = spark.read.parquet(s"$outDir/turn_checksums")
+          .dropDuplicates("conv_id", "turn_idx")
+        QaEvaluator.evaluate(turns, allChecksums, allChunks, allNodes, allEdges, thresholds)
+      }
     if (qa.status == "fail") rollbackRun(spark, outDir, Seq(cfg.runKey))
     qa
   }

@@ -168,13 +168,28 @@ object Materializer {
   /** Per-partition input checksum: order-insensitive aggregate of per-row
     * hashes (sum of xxhash64 over the canonical row string) — cheap, stable
     * under partition-internal reordering.
+    *
+    * With `versionCol` set (RunConfig.inputVersionCol), the fingerprint
+    * hashes (conv_id, version) instead of the full text — the Iceberg
+    * snapshot-id analog: the caller promises the version moves whenever the
+    * content moves, and in exchange every run's change detection reads two
+    * narrow columns (column-pruned at the parquet scan) instead of
+    * re-hashing the entire corpus text. This was the round-5 verdict's
+    * first history-scaled per-run cost: at 10^12 turns the full-text
+    * checksum scan dominated every incremental ingest.
     */
-  def inputChecksums(turns: DataFrame, numPartitions: Int): DataFrame =
+  def inputChecksums(turns: DataFrame, numPartitions: Int,
+      versionCol: Option[String] = None): DataFrame = {
+    val rowHash = versionCol match {
+      case Some(v) => xxhash64(col("conv_id"), col(v))
+      case None => xxhash64(col("conv_id"), col("turn_idx"), col("text"))
+    }
     turns
       .withColumn("part_id", partId("conv_id", numPartitions))
       .groupBy("part_id")
-      .agg(sum(xxhash64(col("conv_id"), col("turn_idx"), col("text")).cast("decimal(38,0)"))
+      .agg(sum(rowHash.cast("decimal(38,0)"))
         .cast("string").as("input_checksum"))
+  }
 
   /** Rollback: remove a failed run's rows — the compensating delete of
     * ref:src/fancyrag/db/neo4j_queries.py:122-180, expressed as a left_anti

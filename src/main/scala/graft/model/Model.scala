@@ -162,5 +162,17 @@ final case class RunConfig(
     // Outputs are byte-identical either way (pinned by PipelineSpec); the
     // switch exists so the parity can be asserted end-to-end, not as a
     // correctness knob.
-    saltProvenance: Boolean = true
+    saltProvenance: Boolean = true,
+    // Input-change detection column (Iceberg snapshot-id analog): when set,
+    // Materializer.inputChecksums fingerprints (conv_id, <this column>)
+    // instead of re-hashing the full text every run — the caller promises
+    // the version moves whenever the content moves. None = full-text
+    // checksum scan (always correct, but O(corpus) per run).
+    inputVersionCol: Option[String] = None,
+    // Evaluate the QA gate incrementally from fingerprint-keyed per-partition
+    // partial aggregates (IncrementalQa) instead of re-aggregating the full
+    // accumulated graph every run. Results are pinned equal to the full
+    // evaluation (ResumeSpec); the cache is fingerprint-validated, so a
+    // stale or crashed cache only ever costs a recompute.
+    incrementalQa: Boolean = true
 )

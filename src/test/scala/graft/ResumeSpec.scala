@@ -330,4 +330,209 @@ class ResumeSpec extends AnyFunSuite {
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     assert(remaining == 0)
   }
+
+  private def fullQa(dir: String, turns: org.apache.spark.sql.DataFrame,
+      thresholds: graft.qa.QaEvaluator.QaThresholds = graft.qa.QaEvaluator.QaThresholds()) = {
+    val allNodes = Materializer.mergeRows(spark.read.parquet(s"$dir/nodes"), Seq("id"))
+    val allEdges = Materializer.mergeRows(
+      spark.read.parquet(s"$dir/edges"), Seq("src", "dst", "rel_type"))
+    val allChunks = spark.read.parquet(s"$dir/chunks").dropDuplicates("chunk_uid")
+    val allChecksums = spark.read.parquet(s"$dir/turn_checksums")
+      .dropDuplicates("conv_id", "turn_idx")
+    graft.qa.QaEvaluator.evaluate(turns, allChecksums, allChunks, allNodes, allEdges, thresholds)
+  }
+
+  test("version-column fingerprinting detects changes without reading the text") {
+    import org.apache.spark.sql.functions.{col => c}
+    val turns = TranscriptGen.table(spark, 8L).toDF()
+      .withColumn("src_version", lit(1L)).cache()
+    val cfgV = cfg.copy(runKey = "kg:ver-1", inputVersionCol = Some("src_version"))
+    val dir = Files.createTempDirectory("graft-vercol").toString
+    assert(KgBuild.run(spark, turns, cfgV, dir).status == "pass")
+
+    // bumping one conversation's version invalidates exactly its partition
+    val bumped = turns.withColumn("src_version",
+      when(c("conv_id") === "conv-000002", lit(2L)).otherwise(lit(1L)))
+    val checks = Materializer.inputChecksums(bumped, cfg.numPartitions, Some("src_version"))
+    val done = Materializer.completedPartitions(spark, dir, "nodes", checks)
+      .collect().map(_.getInt(0)).toSet
+    val changedPart = bumped.filter(c("conv_id") === "conv-000002")
+      .select(Materializer.partId("conv_id", cfg.numPartitions).as("p"))
+      .distinct().collect().head.getInt(0)
+    val allParts = turns
+      .select(Materializer.partId("conv_id", cfg.numPartitions).as("p"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(!done.contains(changedPart), "bumped version must invalidate its partition")
+    assert(done == allParts - changedPart, "unbumped partitions must stay complete")
+
+    // the Iceberg-snapshot-analog contract: the fingerprint scan reads ONLY
+    // (conv_id, version) — the corpus text column never leaves the parquet
+    // footer (at 10^12 turns the full-text checksum scan was the last
+    // per-run cost that grew with the history)
+    val pdir = Files.createTempDirectory("graft-vercol-pq").toString + "/turns"
+    bumped.write.parquet(pdir)
+    val plan = Materializer
+      .inputChecksums(spark.read.parquet(pdir), cfg.numPartitions, Some("src_version"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("src_version") && !readSchema.contains("text"),
+      s"fingerprint scan must not read the text column: $readSchema")
+  }
+
+  test("incremental QA equals full QA — fresh run, appended partition, changed partition") {
+    val turns = TranscriptGen.table(spark, 12L).toDF().cache()
+    val dir = Files.createTempDirectory("graft-incqa").toString
+    val c = cfg.copy(runKey = "kg:incqa-1")
+
+    // fresh run (cache seeded from scratch)
+    assert(KgBuild.run(spark, turns, c, dir).status == "pass")
+    val inc1 = graft.qa.IncrementalQa.evaluate(spark, dir, turns, c)
+    assert(inc1 == fullQa(dir, turns), "fresh-run incremental QA diverged from full QA")
+
+    // second run: one conversation's text changes -> exactly one partition
+    // is invalidated and rebuilt; the incremental evaluation must recompute
+    // just its partials yet still equal the full evaluation
+    val mutated = turns.withColumn("text",
+      when(col("conv_id") === "conv-000003", concat(col("text"), lit(" CHANGED")))
+        .otherwise(col("text"))).cache()
+    assert(KgBuild.run(spark, mutated, c.copy(runKey = "kg:incqa-2"), dir).status == "pass")
+    val inc2 = graft.qa.IncrementalQa.evaluate(spark, dir, mutated, c)
+    assert(inc2 == fullQa(dir, mutated), "changed-partition incremental QA diverged from full QA")
+  }
+
+  test("incremental run over one changed partition scans only that partition's stage files") {
+    // 40 conversations (including the hot 20x one) so the unchanged
+    // partitions' bulk clearly dominates the footer/listing slack
+    val turns = TranscriptGen.table(spark, 40L).toDF().cache()
+    val dir = Files.createTempDirectory("graft-incscan").toString
+    assert(KgBuild.run(spark, turns, cfg.copy(runKey = "kg:scan-1"), dir).status == "pass")
+
+    // change a conversation OUTSIDE the hot conv-0's partition, so the
+    // unchanged bulk (which includes the 20x monster conversation) clearly
+    // dominates the delta and the byte budget can discriminate
+    val partOf: String => Int = c => spark.range(1)
+      .withColumn("conv_id", lit(c))
+      .select(Materializer.partId("conv_id", cfg.numPartitions).as("p"))
+      .collect().head.getInt(0)
+    val hotPart = partOf("conv-000000")
+    val changedConv = (1 until 40).map(i => f"conv-$i%06d")
+      .find(c => partOf(c) != hotPart).get
+    val mutated = turns.withColumn("text",
+      when(col("conv_id") === changedConv, concat(col("text"), lit(" CHANGED")))
+        .otherwise(col("text"))).cache()
+    val changedPart = mutated.filter(col("conv_id") === changedConv)
+      .select(Materializer.partId("conv_id", cfg.numPartitions).as("p"))
+      .distinct().collect().head.getInt(0)
+    val filesBefore = KgBuild.PartitionedStages.map { s =>
+      s -> listFiles(s"$dir/$s/part_id=$changedPart").size
+    }.toMap
+    def dirBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = fsOf(dir)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    def fsBytesRead: Long = {
+      import scala.jdk.CollectionConverters._
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    }
+    val changedBytesBefore = KgBuild.PartitionedStages
+      .map(s => dirBytes(s"$dir/$s/part_id=$changedPart")).sum
+    val smallTablesBefore = Seq("_manifest", "_metrics", "_qa_cache")
+      .map(t => dirBytes(s"$dir/$t")).sum
+
+    // capture every executed file scan during the second run
+    val scans = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          fileScans(s.plan)
+      }.flatten
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        fileScans(qe.executedPlan).foreach { f =>
+          f.relation.location.rootPaths.headOption.foreach { rp =>
+            scans.add(rp.toString -> f.metrics("numFiles").value)
+          }
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val bytesBefore = fsBytesRead
+    try {
+      assert(KgBuild.run(spark, mutated, cfg.copy(runKey = "kg:scan-2"), dir).status == "pass")
+      // listener bus is async: wait for the captured scan set to stabilize
+      var last = -1
+      var same = 0
+      var iters = 0
+      while (same < 3 && iters < 50) {
+        Thread.sleep(200)
+        if (scans.size == last) same += 1 else { same = 0; last = scans.size }
+        iters += 1
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val bytesAfter = fsBytesRead
+    val changedBytesAfter = KgBuild.PartitionedStages
+      .map(s => dirBytes(s"$dir/$s/part_id=$changedPart")).sum
+    val smallTablesAfter = Seq("_manifest", "_metrics", "_qa_cache")
+      .map(t => dirBytes(s"$dir/$t")).sum
+    val unchangedBytes = KgBuild.PartitionedStages.flatMap { s =>
+      (0 until cfg.numPartitions).filter(_ != changedPart)
+        .map(p => dirBytes(s"$dir/$s/part_id=$p"))
+    }.sum
+    // The budget allows each delta-partition file and compact side table to
+    // be read a few times over (the QA partials read chunks twice and edges
+    // three times; the cache is read for key listing and again for the
+    // merge), plus footer/listing slack — but NOT the unchanged partitions'
+    // bulk, which is asserted to dominate the slack so a history-scaled
+    // read cannot hide inside the budget.
+    val slack = 64L << 10
+    val byteBudget = 3 * math.max(changedBytesBefore, changedBytesAfter) +
+      2 * (smallTablesBefore + smallTablesAfter) + slack
+    assert(unchangedBytes > slack * 2,
+      s"test vacuous: unchanged partitions hold only $unchangedBytes bytes")
+    // self-check that the budget DISCRIMINATES: had the run additionally
+    // read the unchanged partitions' bulk, it would have failed
+    assert(byteBudget < (bytesAfter - bytesBefore) + unchangedBytes,
+      s"budget $byteBudget too loose to catch a full-history read " +
+        s"(honest=${bytesAfter - bytesBefore} + unchanged=$unchangedBytes)")
+    info(s"bytesRead=${bytesAfter - bytesBefore} budget=$byteBudget " +
+      s"changed=${math.max(changedBytesBefore, changedBytesAfter)} " +
+      s"small=${smallTablesBefore + smallTablesAfter} unchanged=$unchangedBytes")
+
+    import scala.jdk.CollectionConverters._
+    // 1. Every CAPTURED executed scan of a stage dir opened no more files
+    //    than the changed partition holds. (AQE's empty-relation elimination
+    //    can drop an already-executed subtree from the final plan — e.g. the
+    //    zero-mismatch checksum join — so absence of a captured scan is not
+    //    proof of absence; the bytes bound below covers those.)
+    KgBuild.PartitionedStages.foreach { stage =>
+      val bound = math.max(filesBefore(stage),
+        listFiles(s"$dir/$stage/part_id=$changedPart").size)
+      val totalFiles = (0 until cfg.numPartitions)
+        .map(p => listFiles(s"$dir/$stage/part_id=$p").size).sum
+      assert(totalFiles > bound, s"$stage: test vacuous — one partition holds all files")
+      scans.asScala
+        .filter(p => p._1.contains(dir) && p._1.contains(s"/$stage"))
+        .foreach { case (path, n) =>
+          assert(n <= bound,
+            s"a scan of $path read $n files; the changed partition holds only " +
+              s"$bound — a history-scaled read survived in the incremental path")
+        }
+    }
+    // 2. TOTAL filesystem bytes read during the run are bounded by the
+    //    changed partition + the compact side tables (manifest, metrics, QA
+    //    cache) + footer/listing slack — far below the unchanged partitions'
+    //    bulk, which a history-scaled read would have pulled in.
+    assert(bytesAfter - bytesBefore <= byteBudget,
+      s"run over one changed partition read ${bytesAfter - bytesBefore} bytes; " +
+        s"delta-scaled budget is $byteBudget (unchanged partitions hold " +
+        s"$unchangedBytes) — a history-scaled read survived")
+  }
 }
