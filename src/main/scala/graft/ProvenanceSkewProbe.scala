@@ -37,6 +37,21 @@ object ProvenanceSkewProbe {
     def reset(): Unit = maxMs = 0L
   }
 
+  /** SparkListener events are delivered asynchronously on the listener bus:
+    * reading maxMs right after the action can miss late TaskEnd events, and
+    * a late event from run N can land after reset() and contaminate run
+    * N+1's measurement (round-5 advice). listenerBus/waitUntilEmpty are
+    * private[spark] in Scala but public in bytecode, so a reflective drain
+    * flushes the bus; the fallback is a bounded sleep.
+    */
+  private def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .fold(Thread.sleep(1000))(m => { m.invoke(bus); () })
+    } catch { case _: Throwable => Thread.sleep(1000) }
+
   private def mentionTable(spark: SparkSession, rows: Long, vocab: Long, hotPct: Int): DataFrame =
     spark.range(rows).select(
       when(pmod(hash(col("id"), lit(7)), lit(100)) < hotPct, lit("ent-0"))
@@ -61,6 +76,9 @@ object ProvenanceSkewProbe {
     def measure(name: String, df: DataFrame,
         hot: Option[org.apache.spark.sql.Column]): String = {
       val trail = (1 to 2).map { _ =>
+        // drain BEFORE reset so a previous run's late TaskEnd events cannot
+        // land after the reset and inflate this run's max
+        drainListenerBus(spark.sparkContext)
         listener.reset()
         val t0 = System.nanoTime()
         // Force every group's capped array AND checksum it: parity between
@@ -72,6 +90,7 @@ object ProvenanceSkewProbe {
             sum(crc32(concat_ws(",", col("chunk_uids")))))
           .first()
         val dt = (System.nanoTime() - t0) / 1e9
+        drainListenerBus(spark.sparkContext) // flush late TaskEnd events
         (dt, listener.maxMs / 1e3, (r.getLong(0), r.getLong(1), r.getLong(2)))
       }
       val (groups, uids, crc) = trail.head._3

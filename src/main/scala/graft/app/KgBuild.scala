@@ -182,7 +182,7 @@ object KgBuild {
         val provHot = hotRows
           .groupBy(r => gazMap.getOrElse(r.getString(0), r.getString(0)))
           .map { case (canon, rs) => canon -> rs.map(_.getLong(2)).sum }
-          .filter(_._2 > thrLinked).toSeq
+          .filter(_._2 > math.max(thrLinked, cfg.saltProvenanceFloor)).toSeq
           .sortBy { case (canon, n) => (-n, canon) }
           .take(64).map(_._1)
         (if (broadcastCanonical) None else Some(linkHot),

@@ -163,6 +163,17 @@ final case class RunConfig(
     // switch exists so the parity can be asserted end-to-end, not as a
     // correctness knob.
     saltProvenance: Boolean = true,
+    // Absolute floor for provenance salting: a canon group only routes
+    // through the two-phase aggregation when its linked-mention count
+    // ALSO exceeds this many rows. Hotness relative to total/parallelism
+    // says a group fills a reducer's fair share — but a reducer holding a
+    // 100k-row collect_set (~6 MB of uid state) is not a straggler or an
+    // OOM risk, and salting it just adds an exchange. At corpus scale a
+    // 40%-hot stop entity is orders of magnitude past this floor, so the
+    // protection is unchanged where it matters; at bench scale the build
+    // keeps the cheaper single-phase plan. Parity between the two plans is
+    // byte-exact either way (PipelineSpec pins it with the floor at 0).
+    saltProvenanceFloor: Long = 1000000L,
     // Input-change detection column (Iceberg snapshot-id analog): when set,
     // Materializer.inputChecksums fingerprints (conv_id, <this column>)
     // instead of re-hashing the full text every run — the caller promises

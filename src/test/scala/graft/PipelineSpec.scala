@@ -174,7 +174,10 @@ class PipelineSpec extends AnyFunSuite {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "64")
     try {
-      val gSalted = KgBuild.buildGraph(turns, cfg)
+      // floor 0: the absolute reducer-state floor (saltProvenanceFloor)
+      // deliberately keeps toy-scale groups single-phase in production
+      // config; the parity test wants the two-phase plan exercised
+      val gSalted = KgBuild.buildGraph(turns, cfg.copy(saltProvenanceFloor = 0L))
       assert(gSalted.hotProvNorms.nonEmpty,
         "test corpus produced no hot canon norms — the two-phase path is not exercised")
       val g2 = KgBuild.buildGraph(turns, cfg.copy(saltProvenance = false))
